@@ -1,0 +1,122 @@
+"""Static configuration for the TPU-native stereo SVO engine.
+
+Mirrors the reference's ``CameraSettings`` struct (reference:
+src/lib/stereo_slam_types.hpp [UNVERIFIED — empty mount, see SURVEY.md §0]):
+intrinsics, baseline, grid bucketing, epipolar search ranges, patch window
+sizes and pyramid depth — plus the fixed capacities that replace the
+reference's dynamic ``std::vector`` world (SURVEY.md §7.0.1).
+
+Everything here is *static* w.r.t. tracing: a config instance is hashable and
+is closed over by the jitted ``step`` — changing a value triggers a retrace,
+which is the intended semantics (these are compile-time shape/schedule knobs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + baseline stereo camera model (rectified).
+
+    Reference parity: CameraSettings{fx,fy,cx,cy,baseline,...}
+    (src/lib/stereo_slam_types.hpp [UNVERIFIED]). Distortion is handled at
+    ingest (host-side rectification); the device-side model is rectified
+    pinhole, as in the reference's core pipeline.
+    """
+
+    fx: float = 458.654
+    fy: float = 457.296
+    cx: float = 367.215
+    cy: float = 248.375
+    baseline: float = 0.11  # meters
+    width: int = 752
+    height: int = 480
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+
+@dataclasses.dataclass(frozen=True)
+class SvoConfig:
+    """Algorithm + capacity configuration (all static / trace-shaping)."""
+
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+
+    # --- pyramid ---
+    num_levels: int = 4            # intensity pyramid levels (ref: max_pyramid_levels)
+    # --- detector / grid bucketing (ref: grid_width x grid_height) ---
+    grid_rows: int = 12
+    grid_cols: int = 16
+    fast_threshold: float = 12.0   # intensity contrast for FAST arc test (u8 scale)
+    edgelet_threshold: float = 40.0  # gradient-magnitude threshold for edgelets
+    min_score: float = 1.0         # minimum cell score to activate a feature
+    border_margin: int = 16        # keep features away from image border
+
+    # --- capacities (fixed; liveness via masks) ---
+    max_features: int = 192        # == grid_rows * grid_cols cells by default
+    max_keyframes: int = 10        # sliding window size (ref/north-star: 10)
+    max_seeds: int = 192           # active depth-filter seeds per keyframe
+
+    # --- stereo matching (ref: DepthCalculator, search_x) ---
+    stereo_max_disp: int = 96      # disparity search range in px at level 0
+    stereo_patch: int = 8          # ZNCC window for stereo matching
+
+    # --- sparse direct alignment (ref: PoseEstimator) ---
+    align_patch: int = 4           # photometric patch (ref SVO uses 4x4)
+    align_max_iters: int = 12      # GN iterations per level
+    align_levels: int = 4          # coarse-to-fine levels used for alignment
+    align_huber: float = 8.0       # Huber k on intensity residuals (u8 scale)
+
+    # --- KLT feature alignment (ref: OpticalFlow) ---
+    klt_patch: int = 8             # inverse-compositional LK window
+    klt_max_iters: int = 8
+    klt_levels: int = 3
+    klt_conv_eps: float = 0.03     # px; squared-step convergence threshold
+
+    # --- pose refinement (ref: PoseRefiner) ---
+    refine_max_iters: int = 10
+    refine_huber_px: float = 2.0   # Huber k on reprojection residuals (px)
+    refine_outlier_px: float = 4.0 # reprojection error to kill a feature
+
+    # --- depth filter (ref: DepthFilter) ---
+    seed_sigma_ratio: float = 0.05  # convergence: sigma < ratio * depth_range
+    seed_max_updates: int = 60
+    px_noise: float = 1.0          # 1-px measurement noise assumption
+
+    # --- keyframe policy (ref: KeyframeInserter) ---
+    kf_min_tracked: int = 60       # insert KF if tracked features drop below
+    kf_dist_ratio: float = 0.12    # or translation / median scene depth above
+
+    # --- bundle adjustment (backend) ---
+    ba_max_points: int = 512       # landmark capacity in the BA problem
+    ba_iters: int = 5              # GN/LM outer iterations
+    ba_huber_px: float = 2.0
+
+    # --- numerics ---
+    dtype: str = "float32"         # image/compute dtype ("float32"|"bfloat16")
+
+    def __post_init__(self):
+        assert self.align_levels <= self.num_levels
+        assert self.klt_levels <= self.num_levels
+        assert self.max_features >= 1 and self.max_keyframes >= 2
+
+
+DEFAULT_CONFIG = SvoConfig()
+
+
+def euroc_config() -> SvoConfig:
+    """EuRoC MAV stereo (cam0) geometry, rectified."""
+    return SvoConfig(camera=CameraConfig(
+        fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+        baseline=0.110078, width=752, height=480))
+
+
+def kitti_config() -> SvoConfig:
+    """KITTI odometry grayscale stereo (seq 00 geometry)."""
+    return SvoConfig(camera=CameraConfig(
+        fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+        baseline=0.5371657, width=1241, height=376))
