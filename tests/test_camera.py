@@ -63,9 +63,14 @@ def test_stereo_depth_roundtrip():
 
 
 def test_two_view_triangulation_exact():
-    x_ref = rand_points(64, depth=(2.0, 20.0))
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.uniform(2.0, 20.0, size=64), dtype=jnp.float32)
+    uv = jnp.asarray(np.stack([rng.uniform(50, CAM.width - 50, size=64),
+                               rng.uniform(50, CAM.height - 50, size=64)], -1),
+                     dtype=jnp.float32)
+    x_ref = camera.backproject(CAM, uv, z)
     T_cr = se3.exp(jnp.asarray(
-        np.concatenate([RNG.normal(size=3) * 0.2, RNG.normal(size=3) * 0.05]),
+        np.concatenate([rng.normal(size=3) * 0.2, rng.normal(size=3) * 0.05]),
         dtype=jnp.float32))
     x_cur = se3.transform(T_cr, x_ref)
     f_ref = x_ref / x_ref[..., 2:3]
