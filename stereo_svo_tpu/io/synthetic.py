@@ -120,6 +120,27 @@ def render_view(cam: CameraConfig, T_wc: jnp.ndarray, scene) -> jnp.ndarray:
     return img
 
 
+def gt_depth(cam: CameraConfig, T_wc: jnp.ndarray, uv: jnp.ndarray, scene):
+    """Exact z-depth (camera frame) of the scene at pixels uv (…,2)."""
+    planes, _ = scene
+    rx = (uv[..., 0] - cam.cx) / cam.fx
+    ry = (uv[..., 1] - cam.cy) / cam.fy
+    rays_c = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)
+    R = se3.rotation(T_wc)
+    o = se3.translation(T_wc)
+    rays_w = jnp.einsum("ij,...j->...i", R, rays_c)
+    best = jnp.full(uv.shape[:-1], jnp.inf, jnp.float32)
+    for plane in planes:
+        n, d = plane.normal, plane.d
+        denom = jnp.einsum("...i,i->...", rays_w, n)
+        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        s = (d - jnp.dot(n, o)) / denom
+        s = jnp.where(s > 0.1, s, jnp.inf)
+        best = jnp.minimum(best, s)
+    # rays have unit z in the camera frame → ray parameter == z-depth
+    return best
+
+
 def right_camera_pose(cam: CameraConfig, T_wc_left: jnp.ndarray) -> jnp.ndarray:
     """Right camera pose: left shifted by +baseline along camera x."""
     offset = se3.make(jnp.eye(3, dtype=T_wc_left.dtype),

@@ -1,0 +1,147 @@
+"""Sparse direct image alignment — the #1 hot loop (SURVEY.md §3.3).
+
+Reference parity: PoseEstimator's coarse-to-fine Gauss-Newton on photometric
+patch residuals (src/lib/pose_estimator.* [UNVERIFIED — SURVEY.md §0]).
+The reference's triple loop (level → iteration → keypoint → patch pixel)
+becomes, per level:
+
+  * a one-time template build (``make_template``): gather reference patches
+    and their inverse-compositional Jacobians J = ∇I_ref · ∂π/∂ξ for every
+    (feature, patch-pixel) — fixed for all iterations;
+  * per GN iteration: one batched bilinear gather of the current image at
+    the warped points, Huber weights, and H = Jᵀ W J / b = Jᵀ W e reduced
+    with a single einsum (MXU) → 6x6 solve.
+
+Inverse-compositional formulation (SVO's own trick, here chosen because it
+moves all gradient gathers out of the iteration loop — the TPU-friendly
+schedule): minimize ||I_ref(π(exp(δ)·p)) - I_cur(π(T·p))||², update
+T ← T ∘ exp(δ)⁻¹.
+
+Everything is fixed-capacity and masked: dead features simply carry zero
+weights (SURVEY.md §7.0.1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, SvoConfig
+from ..geometry import camera, se3
+from . import interp
+
+
+class Template(NamedTuple):
+    """Per-reference-frame alignment template (one entry per align level).
+
+    Shapes: L = number of align levels, N = max_features, P2 = patch².
+    """
+    p_ref: jnp.ndarray      # (N, 3) feature 3-D points in ref camera frame
+    patches: jnp.ndarray    # (L, N, P2) reference intensities
+    jac: jnp.ndarray        # (L, N, P2, 6) IC Jacobians d(intensity)/d(twist)
+    mask: jnp.ndarray       # (N,) feature validity
+
+
+def _level_list(cfg: SvoConfig):
+    """Align levels, coarse→fine."""
+    top = cfg.align_levels - 1
+    return list(range(top, cfg.align_min_level - 1, -1))
+
+
+def make_template(levels: Sequence[jnp.ndarray],
+                  gxs: Sequence[jnp.ndarray], gys: Sequence[jnp.ndarray],
+                  cam: CameraConfig, cfg: SvoConfig,
+                  uv: jnp.ndarray, z: jnp.ndarray,
+                  mask: jnp.ndarray) -> Template:
+    """Build the IC template from a reference frame.
+
+    uv: (N,2) level-0 feature positions; z: (N,) feature depths (ref frame).
+    Patch-pixel 3-D points share the center depth (the standard SVO
+    small-patch approximation).
+    """
+    P = cfg.align_patch
+    offs = interp.patch_coords(P)                    # (P2, 2)
+    p_ref = camera.backproject(cam, uv, z)           # (N, 3)
+
+    patches, jacs = [], []
+    for lv in _level_list(cfg):
+        scale = 1.0 / (2 ** lv)
+        uv_l = uv * scale
+        pts = uv_l[:, None, :] + offs[None]          # (N, P2, 2)
+        patch = interp.bilinear(levels[lv], pts)     # (N, P2)
+        gu = interp.bilinear(gxs[lv], pts)
+        gv = interp.bilinear(gys[lv], pts)
+        # 3-D point of each patch pixel at the center's depth
+        p_pix = camera.backproject(cam, pts * (2 ** lv),
+                                   jnp.broadcast_to(z[:, None], pts.shape[:2]))
+        Jpose = camera.proj_pose_jacobian(cam, p_pix, level=lv)  # (N,P2,2,6)
+        J = gu[..., None] * Jpose[..., 0, :] + gv[..., None] * Jpose[..., 1, :]
+        # invalidate templates whose patch leaves the level image
+        ok = camera.in_bounds(cam, pts, level=lv, margin=1.0)    # (N, P2)
+        J = jnp.where(ok[..., None], J, 0.0)
+        patches.append(patch)
+        jacs.append(J)
+
+    return Template(p_ref=p_ref,
+                    patches=jnp.stack(patches),
+                    jac=jnp.stack(jacs),
+                    mask=mask & (z > 1e-2))
+
+
+def _huber_weight(e: jnp.ndarray, k: float) -> jnp.ndarray:
+    a = jnp.abs(e)
+    return jnp.where(a <= k, 1.0, k / jnp.maximum(a, 1e-6))
+
+
+def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
+          cam: CameraConfig, cfg: SvoConfig,
+          T_init: jnp.ndarray) -> Tuple[jnp.ndarray, dict]:
+    """Estimate T_cr (ref→cur) by coarse-to-fine IC Gauss-Newton.
+
+    Returns (T_cr, stats) with per-frame diagnostics (SURVEY.md §5.5).
+    """
+    P = cfg.align_patch
+    offs = interp.patch_coords(P)
+    lam = 1e-4  # Levenberg damping floor keeps the 6x6 solve well-posed
+
+    T = T_init
+    last_cost = jnp.asarray(0.0, jnp.float32)
+    inlier_frac = jnp.asarray(0.0, jnp.float32)
+
+    for li, lv in enumerate(_level_list(cfg)):
+        img = levels_cur[lv]
+        ref_patch = tmpl.patches[li]                 # (N, P2)
+        J = tmpl.jac[li]                             # (N, P2, 6)
+        # Precompute JᵀJ blocks can't be cached across iters because Huber
+        # weights change; the einsum below is one fused MXU contraction.
+
+        def body(it, carry):
+            T, cost, infrac = carry
+            p_cur = se3.transform(T, tmpl.p_ref)     # (N, 3)
+            uv_c, front = camera.project(cam, p_cur, level=lv)
+            pts = uv_c[:, None, :] + offs[None]      # (N, P2, 2)
+            cur = interp.bilinear(img, pts)          # (N, P2)
+            e = cur - ref_patch                      # (N, P2)
+            ok = (camera.in_bounds(cam, pts, level=lv, margin=1.0)
+                  & front[:, None] & tmpl.mask[:, None])
+            w = _huber_weight(e, cfg.align_huber) * ok
+            H = jnp.einsum("npi,np,npj->ij", J, w, J,
+                           preferred_element_type=jnp.float32)
+            b = jnp.einsum("npi,np,np->i", J, w, e,
+                           preferred_element_type=jnp.float32)
+            H = H + lam * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype) \
+                + 1e-8 * jnp.eye(6, dtype=H.dtype)
+            delta = jnp.linalg.solve(H, b)
+            T_new = se3.compose(T, se3.inverse(se3.exp(delta)))
+            cost = jnp.sum(w * e * e) / jnp.maximum(jnp.sum(ok), 1.0)
+            infrac = (jnp.sum((jnp.abs(e) < cfg.align_huber) & ok)
+                      / jnp.maximum(jnp.sum(ok), 1.0))
+            return T_new, cost, infrac
+
+        T, last_cost, inlier_frac = jax.lax.fori_loop(
+            0, cfg.align_max_iters, body, (T, last_cost, inlier_frac))
+
+    stats = {"align_cost": last_cost, "align_inlier_frac": inlier_frac}
+    return T, stats
