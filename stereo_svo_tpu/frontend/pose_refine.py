@@ -1,0 +1,61 @@
+"""Motion-only pose refinement: Gauss-Newton on reprojection residuals.
+
+Reference parity: PoseRefiner — second GN pass over the KLT-refined 2-D
+positions, optimizing the 6-DoF pose only (src/lib/pose_refinement.*
+[UNVERIFIED — SURVEY.md §0]; SURVEY.md §3.1). Batched over all features,
+fixed iteration count, Huber-weighted; outliers are reported as a mask for
+the caller to kill (the reference erases them from its vectors).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, SvoConfig
+from ..geometry import camera, se3
+
+
+def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
+           X_world: jnp.ndarray, uv_obs: jnp.ndarray,
+           mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Refine T_cw so that projected landmarks match observed positions.
+
+    Args:
+      X_world: (N, 3) landmark positions; uv_obs: (N, 2) observations.
+      mask: (N,) features participating.
+    Returns: (T_cw, inlier_mask, stats).
+    """
+    def body(it, T):
+        x_c = se3.transform(T, X_world)                     # (N,3)
+        uv_p, front = camera.project(cam, x_c)
+        r = uv_p - uv_obs                                   # (N,2)
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = jnp.where(rn <= cfg.refine_huber_px, 1.0,
+                      cfg.refine_huber_px / jnp.maximum(rn, 1e-6))
+        w = w * (mask & front)
+        J = camera.proj_pose_jacobian(cam, x_c)             # (N,2,6)
+        H = jnp.einsum("nri,n,nrj->ij", J, w, J,
+                       preferred_element_type=jnp.float32)
+        g = jnp.einsum("nri,n,nr->i", J, w, r,
+                       preferred_element_type=jnp.float32)
+        H = H + 1e-8 * jnp.eye(6, dtype=H.dtype) \
+            + 1e-4 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
+        delta = -jnp.linalg.solve(H, g)
+        return se3.compose(se3.exp(delta), T)
+
+    T = jax.lax.fori_loop(0, cfg.refine_max_iters, body, T_cw)
+
+    x_c = se3.transform(T, X_world)
+    uv_p, front = camera.project(cam, x_c)
+    err = jnp.linalg.norm(uv_p - uv_obs, axis=-1)
+    inliers = mask & front & (err < cfg.refine_outlier_px)
+    stats = {
+        "refine_rms_px": jnp.sqrt(
+            jnp.sum(jnp.where(inliers, err * err, 0.0))
+            / jnp.maximum(jnp.sum(inliers), 1.0)),
+        "refine_inliers": jnp.sum(inliers),
+    }
+    return T, inliers, stats

@@ -1,0 +1,174 @@
+"""Batched recursive depth filters (Gaussian × Beta inverse-depth model).
+
+Reference parity: DepthFilter::update — per-seed Bayesian depth estimation
+with the Vogiatzis-Hernández Gaussian×Beta posterior as used by the SVO
+family, seeded by stereo triangulation (src/lib/depth_filter.*
+[UNVERIFIED — SURVEY.md §0]; SURVEY.md §3.5; BASELINE north star: "the
+per-feature depth-filter update becomes a batched fused kernel over all
+active seeds").
+
+The reference's sequential per-seed loop becomes one masked update over the
+whole (N,) seed array: every op below is elementwise — XLA fuses the entire
+update (triangulation → tau → posterior) into a single VPU pass.
+
+Seed state (all (N,) float32, inverse-depth parameterization):
+  mu      — posterior mean inverse depth (in the owner keyframe)
+  sigma2  — posterior variance of inverse depth
+  a, b    — Beta inlier/outlier pseudo-counts
+  z_range — scene inverse-depth range (fixed at seeding; uniform outlier model)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ..config import CameraConfig, SvoConfig
+from ..geometry import se3, triangulate
+
+
+class SeedUpdate(NamedTuple):
+    mu: jnp.ndarray
+    sigma2: jnp.ndarray
+    a: jnp.ndarray
+    b: jnp.ndarray
+    updated: jnp.ndarray   # (N,) bool — observation accepted and applied
+
+
+def seed_from_stereo(cam: CameraConfig, cfg: SvoConfig, z0: jnp.ndarray):
+    """Initialize (mu, sigma2, a, b) from stereo-triangulated depth z0.
+
+    Inverse-depth measurement noise from 1-px disparity noise:
+    d(1/z)/d(disp) = 1/(fx·baseline).
+    """
+    mu = 1.0 / jnp.maximum(z0, 1e-3)
+    tau_inv = cfg.px_noise / (cam.fx * cam.baseline)
+    sigma2 = (3.0 * tau_inv) ** 2 * jnp.ones_like(mu)
+    a = 10.0 * jnp.ones_like(mu)
+    b = 10.0 * jnp.ones_like(mu)
+    return mu, sigma2, a, b
+
+
+def compute_tau(T_rc: jnp.ndarray, f_ref: jnp.ndarray, z: jnp.ndarray,
+                px_error_angle: jnp.ndarray) -> jnp.ndarray:
+    """Depth std-dev of a triangulated observation (SVO's computeTau).
+
+    T_rc: (…,3,4) pose of current camera in the reference (seed) frame —
+    its translation is the baseline vector t. f_ref: (…,3) unit bearing.
+    """
+    t = se3.translation(T_rc)
+    t_norm = jnp.linalg.norm(t, axis=-1)
+    a_vec = f_ref * z[..., None] - t
+    a_norm = jnp.linalg.norm(a_vec, axis=-1)
+    tn = jnp.maximum(t_norm, 1e-9)
+    an = jnp.maximum(a_norm, 1e-9)
+    alpha = jnp.arccos(jnp.clip(jnp.sum(f_ref * t, -1) / tn, -1.0, 1.0))
+    beta = jnp.arccos(jnp.clip(-jnp.sum(a_vec * t, -1) / (an * tn), -1.0, 1.0))
+    beta_plus = beta + px_error_angle
+    gamma = jnp.pi - alpha - beta_plus
+    sin_g = jnp.maximum(jnp.sin(gamma), 1e-6)
+    z_plus = t_norm * jnp.sin(beta_plus) / sin_g
+    return jnp.abs(z_plus - z)
+
+
+def update(mu: jnp.ndarray, sigma2: jnp.ndarray, a: jnp.ndarray,
+           b: jnp.ndarray, x: jnp.ndarray, tau2: jnp.ndarray,
+           z_range: jnp.ndarray, apply_mask: jnp.ndarray) -> SeedUpdate:
+    """One Vogiatzis-Hernández posterior update with measurement x ~ N(μ,τ²).
+
+    All inputs (N,); ``apply_mask`` gates which seeds commit the update.
+    """
+    sigma2 = jnp.maximum(sigma2, 1e-12)
+    tau2 = jnp.maximum(tau2, 1e-12)
+    norm_scale = jnp.sqrt(sigma2 + tau2)
+
+    s2 = 1.0 / (1.0 / sigma2 + 1.0 / tau2)
+    m = s2 * (mu / sigma2 + x / tau2)
+
+    # Gaussian pdf of x under N(mu, sigma2 + tau2)
+    gauss = jnp.exp(-0.5 * (x - mu) ** 2 / (norm_scale ** 2)) / (
+        jnp.sqrt(2.0 * jnp.pi) * norm_scale)
+    C1 = a / (a + b) * gauss
+    C2 = b / (a + b) * (1.0 / jnp.maximum(z_range, 1e-6))
+    norm = jnp.maximum(C1 + C2, 1e-12)
+    C1 = C1 / norm
+    C2 = C2 / norm
+
+    f = C1 * (a + 1.0) / (a + b + 1.0) + C2 * a / (a + b + 1.0)
+    e = (C1 * (a + 1.0) * (a + 2.0) / ((a + b + 1.0) * (a + b + 2.0))
+         + C2 * a * (a + 1.0) / ((a + b + 1.0) * (a + b + 2.0)))
+
+    mu_new = C1 * m + C2 * mu
+    sigma2_new = C1 * (s2 + m * m) + C2 * (sigma2 + mu * mu) - mu_new * mu_new
+    # Beta moment matching: a' = (e-f)/(f-e/f). Note e<f and e>f² for a
+    # proper posterior, so numerator and denominator are both negative —
+    # guard only against |denom|≈0, preserving sign.
+    denom = f - e / jnp.maximum(f, 1e-12)
+    denom = jnp.where(jnp.abs(denom) > 1e-12, denom, -1e-12)
+    a_new = (e - f) / denom
+    b_new = a_new * (1.0 - f) / jnp.maximum(f, 1e-12)
+
+    finite = (jnp.isfinite(mu_new) & jnp.isfinite(sigma2_new)
+              & jnp.isfinite(a_new) & jnp.isfinite(b_new)
+              & (sigma2_new > 0) & (a_new > 0) & (b_new > 0))
+    ok = apply_mask & finite
+    return SeedUpdate(
+        mu=jnp.where(ok, mu_new, mu),
+        sigma2=jnp.where(ok, sigma2_new, sigma2),
+        a=jnp.where(ok, a_new, a),
+        b=jnp.where(ok, b_new, b),
+        updated=ok)
+
+
+def observe_and_update(cam: CameraConfig, cfg: SvoConfig,
+                       T_ck: jnp.ndarray,
+                       kf_uv: jnp.ndarray, cur_uv: jnp.ndarray,
+                       mu: jnp.ndarray, sigma2: jnp.ndarray,
+                       a: jnp.ndarray, b: jnp.ndarray,
+                       z_range: jnp.ndarray,
+                       active: jnp.ndarray) -> SeedUpdate:
+    """Full per-frame seed update: triangulate the tracked observation
+    against the owner keyframe, derive tau, update the posterior.
+
+    T_ck: (N,3,4) per-seed pose mapping owner-KF points → current camera.
+    kf_uv: (N,2) anchor pixel in owner KF; cur_uv: (N,2) tracked position.
+    """
+    f_ref = jnp.concatenate([
+        (kf_uv[:, 0:1] - cam.cx) / cam.fx,
+        (kf_uv[:, 1:2] - cam.cy) / cam.fy,
+        jnp.ones_like(kf_uv[:, 0:1])], axis=-1)          # (N,3), z=1
+    f_cur = jnp.concatenate([
+        (cur_uv[:, 0:1] - cam.cx) / cam.fx,
+        (cur_uv[:, 1:2] - cam.cy) / cam.fy,
+        jnp.ones_like(cur_uv[:, 0:1])], axis=-1)
+
+    z_obs, tri_ok = triangulate.two_view_depth(T_ck, f_ref, f_cur)
+
+    # tau in depth, then converted to inverse depth (SVO's recipe)
+    T_kc = se3.inverse(T_ck)
+    f_unit = f_ref / jnp.linalg.norm(f_ref, axis=-1, keepdims=True)
+    z_unit = z_obs * jnp.linalg.norm(f_ref, axis=-1)      # depth along unit ray
+    px_error_angle = jnp.arctan(cfg.px_noise / (2.0 * cam.fx)) * 2.0
+    tau = compute_tau(T_kc, f_unit, z_unit, px_error_angle)
+    tau = jnp.maximum(tau, 1e-6)
+    z_lo = jnp.maximum(z_unit - tau, 1e-3)
+    z_hi = z_unit + tau
+    tau_inv = 0.5 * (1.0 / z_lo - 1.0 / z_hi)
+
+    x_obs = 1.0 / jnp.maximum(z_obs, 1e-3)
+    apply_mask = active & tri_ok & (z_obs > 0.05)
+    return update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range, apply_mask)
+
+
+def converged(cfg: SvoConfig, mu: jnp.ndarray, sigma2: jnp.ndarray
+              ) -> jnp.ndarray:
+    """Seed convergence: inverse-depth std below a fraction of the mean."""
+    return jnp.sqrt(sigma2) < cfg.seed_sigma_ratio * jnp.maximum(mu, 1e-6)
+
+
+def diverged(cfg: SvoConfig, a: jnp.ndarray, b: jnp.ndarray,
+             n_updates: jnp.ndarray) -> jnp.ndarray:
+    """Cull: posterior inlier probability collapsed, or update budget spent."""
+    inlier_prob = a / jnp.maximum(a + b, 1e-6)
+    return (inlier_prob < 0.1) | (n_updates > cfg.seed_max_updates)

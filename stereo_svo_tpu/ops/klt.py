@@ -1,0 +1,115 @@
+"""Pyramidal inverse-compositional Lucas-Kanade feature alignment, batched.
+
+Reference parity: OpticalFlow — per-feature KLT refinement of each projected
+keypoint against its keyframe patch, breaking frame-to-keyframe drift
+(src/lib/optical_flow.* [UNVERIFIED — SURVEY.md §0]; SURVEY.md §3.1).
+
+The reference iterates feature-by-feature with early exits; here all N
+features advance together through a fixed iteration schedule with
+convergence masking (a converged feature's update is zeroed, not branched).
+Template gradients/Hessians are precomputed at keyframe creation — per
+iteration only one batched bilinear gather of the current image runs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, SvoConfig
+from . import interp
+
+
+class KltTemplate(NamedTuple):
+    """IC-LK template per feature per KLT level.
+
+    L = klt_levels, N = max_features, P2 = klt_patch².
+    """
+    patches: jnp.ndarray   # (L, N, P2) template intensities
+    jac: jnp.ndarray       # (L, N, P2, 2) template gradients (du, dv)
+    hinv: jnp.ndarray      # (L, N, 2, 2) inverse IC Hessians
+    mask: jnp.ndarray      # (N,)
+
+
+def make_template(levels: Sequence[jnp.ndarray],
+                  gxs: Sequence[jnp.ndarray], gys: Sequence[jnp.ndarray],
+                  cfg: SvoConfig, uv: jnp.ndarray,
+                  mask: jnp.ndarray) -> KltTemplate:
+    """Extract KLT templates at level-0 positions ``uv`` from a keyframe."""
+    P = cfg.klt_patch
+    offs = interp.patch_coords(P)
+    patches, jacs, hinvs = [], [], []
+    for lv in range(cfg.klt_levels):
+        scale = 1.0 / (2 ** lv)
+        pts = uv[:, None, :] * scale + offs[None]           # (N, P2, 2)
+        t = interp.bilinear(levels[lv], pts)
+        gu = interp.bilinear(gxs[lv], pts)
+        gv = interp.bilinear(gys[lv], pts)
+        J = jnp.stack([gu, gv], axis=-1)                    # (N, P2, 2)
+        H = jnp.einsum("npi,npj->nij", J, J,
+                       preferred_element_type=jnp.float32)
+        # Regularize: textureless templates get ~identity (their updates
+        # will be tiny since Jᵀe ≈ 0) instead of a singular solve.
+        H = H + 1e-3 * jnp.eye(2, dtype=H.dtype)
+        hinvs.append(jnp.linalg.inv(H))
+        patches.append(t)
+        jacs.append(J)
+    return KltTemplate(patches=jnp.stack(patches), jac=jnp.stack(jacs),
+                       hinv=jnp.stack(hinvs), mask=mask)
+
+
+def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
+          cfg: SvoConfig, uv_init: jnp.ndarray
+          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Refine feature positions in the current frame.
+
+    Args:
+      uv_init: (N, 2) predicted level-0 positions (from the aligned pose).
+    Returns:
+      uv: (N, 2) refined positions.
+      converged: (N,) bool — final update below threshold and in-bounds.
+      residual: (N,) mean absolute photometric residual (diagnostic).
+    """
+    P = cfg.klt_patch
+    offs = interp.patch_coords(P)
+    uv = uv_init
+
+    converged = jnp.zeros(uv.shape[0], dtype=bool)
+    res = jnp.zeros(uv.shape[0], dtype=levels_cur[0].dtype)
+
+    for lv in range(cfg.klt_levels - 1, -1, -1):
+        img = levels_cur[lv]
+        H, W = img.shape
+        t = tmpl.patches[lv]
+        J = tmpl.jac[lv]
+        Hinv = tmpl.hinv[lv]
+        scale = 1.0 / (2 ** lv)
+
+        def body(it, carry):
+            uv, conv, res = carry
+            pts = uv[:, None, :] * scale + offs[None]
+            cur = interp.bilinear(img, pts)
+            e = cur - t                                      # (N, P2)
+            g = jnp.einsum("npi,np->ni", J, e,
+                           preferred_element_type=jnp.float32)
+            delta = jnp.einsum("nij,nj->ni", Hinv, g)        # level-lv px
+            step = delta * (2 ** lv)                         # level-0 px
+            in_b = ((uv[:, 0] * scale > P) & (uv[:, 0] * scale < W - P)
+                    & (uv[:, 1] * scale > P) & (uv[:, 1] * scale < H - P))
+            active = tmpl.mask & in_b & ~conv
+            uv_new = jnp.where(active[:, None], uv - step, uv)
+            conv_new = conv | (active &
+                               (jnp.sum(delta * delta, -1) < cfg.klt_conv_eps ** 2))
+            res_new = jnp.where(active, jnp.mean(jnp.abs(e), axis=-1), res)
+            return uv_new, conv_new, res_new
+
+        # reset convergence flags at each level (finer level re-refines)
+        converged = jnp.zeros_like(converged)
+        uv, converged, res = jax.lax.fori_loop(
+            0, cfg.klt_max_iters, body, (uv, converged, res))
+
+    moved2 = jnp.sum((uv - uv_init) ** 2, axis=-1)
+    ok = tmpl.mask & (moved2 < (4.0 * cfg.klt_patch) ** 2)
+    return uv, ok & converged, res
