@@ -1,0 +1,191 @@
+"""The per-frame SVO state machine as one jitted function.
+
+Reference parity: StereoSlam::new_image — the per-frame entry point and the
+only load-bearing API of the reference (SURVEY.md §1, §3.1):
+
+    pyramid → sparse align → KLT feature alignment → pose refinement →
+    depth-filter updates → keyframe decision → (maybe) keyframe insertion
+
+Every data-dependent branch of the reference (KF insertion, seed
+promote/cull, track loss) stays **on device**: `lax.cond` for the keyframe
+branch, masked arithmetic for everything else — no host round-trips in
+steady state (SURVEY.md §7.0.2, §7.3.1). ``vmap(step)`` batches whole
+sequences (north-star config #4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SvoConfig
+from ..frontend import detector, keyframe, pose_refine
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..ops import align as align_ops
+from ..ops import depth_filter, klt as klt_ops, pyramid
+from .state import (STATUS_DEAD, STATUS_LANDMARK, STATUS_SEED, FrameOut,
+                    SlamState, init_state)
+
+
+def world_points(cfg: SvoConfig, state: SlamState) -> jnp.ndarray:
+    """(N,3) world positions from owner-KF anchor + inverse-depth mean."""
+    z = 1.0 / jnp.maximum(state.mu, 1e-4)
+    p_kf = cam_mod.backproject(cfg.camera, state.kf_uv, z)
+    T_wk = state.kf_T_wk[state.kf_id]                  # (N,3,4)
+    return se3.transform(T_wk, p_kf)
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    big = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(big)
+    n = jnp.sum(mask)
+    idx = jnp.clip((n - 1) // 2, 0, x.shape[0] - 1)
+    return s[idx]
+
+
+def _rebuild_template(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
+                      T_cw: jnp.ndarray) -> SlamState:
+    """Anchor the next frame's alignment template at the current frame."""
+    X_w = world_points(cfg, state)
+    x_c = se3.transform(T_cw, X_w)
+    z_cur = x_c[..., 2]
+    mask = ((state.status > 0) & (z_cur > 0.1)
+            & cam_mod.in_bounds(cfg.camera, state.feat_uv,
+                                margin=cfg.align_patch))
+    tmpl = align_ops.make_template(pyr_l, gxs, gys, cfg.camera, cfg,
+                                   state.feat_uv, z_cur, mask)
+    return state._replace(tmpl=tmpl)
+
+
+def make_step(cfg: SvoConfig):
+    """Build the jittable per-frame step closure for a static config."""
+    cam = cfg.camera
+
+    def step(state: SlamState, img_l: jnp.ndarray, img_r: jnp.ndarray
+             ) -> Tuple[SlamState, FrameOut]:
+        pyr_l, gxs, gys = pyramid.build_with_gradients(img_l, cfg.num_levels)
+
+        def boot(st: SlamState):
+            """First frame: create the bootstrap keyframe (SURVEY.md §3.2)."""
+            T_cw = st.T_cw  # initial pose (identity unless caller seeded it)
+            st = keyframe.insert(cfg, st, pyr_l, gxs, gys, img_r, T_cw)
+            st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)
+            st = st._replace(T_pw=T_cw, vel=jnp.zeros(6, jnp.float32),
+                             frame_idx=st.frame_idx + 1,
+                             tracking_ok=jnp.asarray(True))
+            z = jnp.zeros((), jnp.float32)
+            out = FrameOut(
+                T_wc=se3.inverse(T_cw), tracking_ok=jnp.asarray(True),
+                kf_inserted=jnp.asarray(True),
+                n_tracked=jnp.sum(st.status > 0),
+                n_seeds=jnp.sum(st.status == STATUS_SEED),
+                n_landmarks=jnp.sum(st.status == STATUS_LANDMARK),
+                align_cost=z, align_inlier_frac=z + 1.0,
+                refine_rms_px=z,
+                median_depth=_masked_median(
+                    1.0 / jnp.maximum(st.mu, 1e-4), st.status > 0))
+            return st, out
+
+        def track(st: SlamState):
+            # --- 1. sparse direct alignment vs previous frame ---
+            T_init = se3.exp(st.vel)
+            T_cp, align_stats = align_ops.align(pyr_l, st.tmpl, cam, cfg,
+                                                T_init)
+            T_cw_pred = se3.compose(T_cp, st.T_pw)
+
+            # --- 2. KLT feature alignment vs keyframe templates ---
+            active = st.status > 0
+            X_w = world_points(cfg, st)
+            x_c = se3.transform(T_cw_pred, X_w)
+            uv_pred, front = cam_mod.project(cam, x_c)
+            in_img = front & cam_mod.in_bounds(
+                cam, uv_pred, margin=cfg.klt_patch + 2)
+            klt_mask = active & in_img
+            uv_ref, klt_ok, _ = klt_ops.track(
+                pyr_l, st.klt_tmpl._replace(mask=st.klt_tmpl.mask & klt_mask),
+                cfg, uv_pred)
+            tracked = klt_mask & klt_ok
+
+            # --- 3. motion-only pose refinement on reprojection ---
+            T_cw, inliers, refine_stats = pose_refine.refine(
+                cam, cfg, T_cw_pred, X_w, uv_ref, tracked)
+            n_inl = refine_stats["refine_inliers"]
+            ok = n_inl >= 15
+            T_cw = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), T_cw, T_cw_pred)
+
+            # --- 4. feature bookkeeping ---
+            lost = active & (~in_img | (klt_mask & ~klt_ok)
+                             | (tracked & ~inliers))
+            status = jnp.where(lost, STATUS_DEAD, st.status)
+            feat_uv = jnp.where((tracked & inliers)[:, None], uv_ref, uv_pred)
+
+            # --- 5. recursive depth-filter updates (seeds only) ---
+            T_wk_per = st.kf_T_wk[st.kf_id]
+            T_ck = se3.compose(T_cw[None], T_wk_per)       # (N,3,4)
+            seeds = (status == STATUS_SEED) & inliers
+            upd = depth_filter.observe_and_update(
+                cam, cfg, T_ck, st.kf_uv, feat_uv,
+                st.mu, st.sigma2, st.a_beta, st.b_beta, st.z_range, seeds)
+            n_upd = st.n_upd + upd.updated.astype(jnp.int32)
+            conv = depth_filter.converged(cfg, upd.mu, upd.sigma2)
+            div = depth_filter.diverged(cfg, upd.a, upd.b, n_upd)
+            status = jnp.where((status == STATUS_SEED) & conv,
+                               STATUS_LANDMARK, status)
+            status = jnp.where((status == STATUS_SEED) & div,
+                               STATUS_DEAD, status)
+
+            st = st._replace(status=status, feat_uv=feat_uv, mu=upd.mu,
+                             sigma2=upd.sigma2, a_beta=upd.a,
+                             b_beta=upd.b, n_upd=n_upd)
+
+            # --- 6. keyframe decision (SURVEY.md §3.1 policy) ---
+            z_cur = se3.transform(T_cw, world_points(cfg, st))[..., 2]
+            med_depth = _masked_median(z_cur, st.status > 0)
+            c_cur = se3.translation(se3.inverse(T_cw))
+            c_kf = se3.translation(st.kf_T_wk[st.last_kf])
+            kf_dist = jnp.linalg.norm(c_cur - c_kf)
+            need_kf = ok & ((n_inl < cfg.kf_min_tracked)
+                            | (kf_dist > cfg.kf_dist_ratio * med_depth))
+
+            st = jax.lax.cond(
+                need_kf,
+                lambda s: keyframe.insert(cfg, s, pyr_l, gxs, gys, img_r,
+                                          T_cw),
+                lambda s: s,
+                st)
+
+            # --- 7. re-anchor next frame's alignment template ---
+            st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)
+            vel = se3.log(se3.compose(T_cw, se3.inverse(st.T_pw)))
+            # damp the constant-velocity prior after a tracking failure
+            vel = jnp.where(ok, vel, 0.5 * st.vel)
+            st = st._replace(T_cw=T_cw, T_pw=T_cw, vel=vel,
+                             frame_idx=st.frame_idx + 1, tracking_ok=ok)
+
+            out = FrameOut(
+                T_wc=se3.inverse(T_cw), tracking_ok=ok, kf_inserted=need_kf,
+                n_tracked=n_inl.astype(jnp.int32),
+                n_seeds=jnp.sum(st.status == STATUS_SEED),
+                n_landmarks=jnp.sum(st.status == STATUS_LANDMARK),
+                align_cost=align_stats["align_cost"],
+                align_inlier_frac=align_stats["align_inlier_frac"],
+                refine_rms_px=refine_stats["refine_rms_px"],
+                median_depth=med_depth)
+            return st, out
+
+        return jax.lax.cond(jnp.any(state.kf_valid), track, boot, state)
+
+    return step
+
+
+def make_jitted_step(cfg: SvoConfig):
+    return jax.jit(make_step(cfg), donate_argnums=(0,))
+
+
+__all__ = ["make_step", "make_jitted_step", "init_state", "world_points",
+           "SlamState", "FrameOut"]

@@ -1,0 +1,122 @@
+"""Keyframe insertion: detection, stereo depth bootstrap, slot assignment.
+
+Reference parity: StereoSlam::new_keyframe — detect FAST/edgelet features in
+grid cells not already occupied by tracked keypoints, stereo-match them,
+triangulate depth, spawn depth-filter seeds, store the keyframe
+(SURVEY.md §3.2; src/lib/ [UNVERIFIED — SURVEY.md §0]).
+
+The dynamic parts of the reference (erase/push_back on keypoint vectors)
+become a sort-based stream compaction: valid new detections are paired with
+free feature slots via two argsorts and committed with a single masked
+scatter — fully static shapes, jit/vmap-safe (SURVEY.md §7.3.1).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SvoConfig
+from ..engine.state import (STATUS_DEAD, STATUS_SEED, SlamState)
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..ops import align as align_ops
+from ..ops import depth_filter, klt as klt_ops, stereo_match
+from . import detector
+
+
+def cell_index(cfg: SvoConfig, uv: jnp.ndarray) -> jnp.ndarray:
+    """Grid cell id of level-0 positions (N,2) → (N,) int32."""
+    H, W = cfg.camera.height, cfg.camera.width
+    ch = H // cfg.grid_rows
+    cw = W // cfg.grid_cols
+    cy = jnp.clip(uv[:, 1].astype(jnp.int32) // ch, 0, cfg.grid_rows - 1)
+    cx = jnp.clip(uv[:, 0].astype(jnp.int32) // cw, 0, cfg.grid_cols - 1)
+    return cy * cfg.grid_cols + cx
+
+
+def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
+           img_r: jnp.ndarray, T_cw: jnp.ndarray) -> SlamState:
+    """Create a keyframe at pose T_cw from the current stereo pair."""
+    cam = cfg.camera
+    N = cfg.max_features
+    K = cfg.max_keyframes
+    n_cells = cfg.grid_rows * cfg.grid_cols
+
+    slot = jnp.mod(state.kf_next, K)
+
+    # Features owned by the evicted keyframe slot lose their anchor → dead.
+    status = jnp.where((state.kf_id == slot) & (state.status > 0),
+                       STATUS_DEAD, state.status)
+    active = status > 0
+
+    # --- spatially free cells (no currently tracked feature) ---
+    cells = cell_index(cfg, state.feat_uv)
+    cells = jnp.where(active, cells, n_cells)  # OOB → dropped by scatter
+    occupied = jnp.zeros(n_cells, bool).at[cells].set(True, mode="drop")
+    free_cells = ~occupied
+
+    # --- detect & stereo-bootstrap new candidates ---
+    det = detector.detect(pyr_l, gxs[0], gys[0], cfg, free_cells)
+    disp, zncc, st_ok = stereo_match.match(
+        pyr_l[0], img_r, det.uv, cfg.stereo_max_disp, cfg.stereo_patch)
+    z0 = cam_mod.disparity_to_depth(cam, disp)
+    cand = det.valid & st_ok & (z0 > 0.3) & (z0 < 80.0)
+
+    # --- pair valid candidates with free slots (sort-based compaction) ---
+    # stable argsort: free slots first, in index order
+    free_order = jnp.argsort(jnp.where(status == STATUS_DEAD, 0, 1),
+                             stable=True)
+    cand_order = jnp.argsort(jnp.where(cand, 0, 1), stable=True)
+    n_free = jnp.sum(status == STATUS_DEAD)
+    n_cand = jnp.sum(cand)
+    j = jnp.arange(N)
+    assign = (j < jnp.minimum(n_free, n_cand))
+    dst = jnp.where(assign, free_order, N)            # OOB drop when unused
+    src = cand_order
+
+    mu0, s20, a0, b0 = depth_filter.seed_from_stereo(cam, cfg, z0)
+
+    def put(arr, vals):
+        return arr.at[dst].set(vals[src], mode="drop")
+
+    status = put(status, jnp.full(N, STATUS_SEED, jnp.int32))
+    feat_uv = put(state.feat_uv, det.uv)
+    feat_level = put(state.feat_level, det.level)
+    kf_id = put(state.kf_id, jnp.full(N, slot, jnp.int32))
+    kf_uv = put(state.kf_uv, det.uv)
+    mu = put(state.mu, mu0)
+    sigma2 = put(state.sigma2, s20)
+    a_beta = put(state.a_beta, a0)
+    b_beta = put(state.b_beta, b0)
+    z_range = put(state.z_range, jnp.clip(2.0 * mu0, 0.5, 4.0))
+    n_upd = put(state.n_upd, jnp.zeros(N, jnp.int32))
+
+    new_rows = jnp.zeros(N, bool).at[dst].set(assign, mode="drop")
+
+    # --- KLT templates: new rows from this keyframe's pyramid ---
+    fresh = klt_ops.make_template(pyr_l, gxs, gys, cfg, feat_uv,
+                                  status > 0)
+    blend = lambda old, new: jnp.where(
+        new_rows.reshape((1, N) + (1,) * (new.ndim - 2)), new, old)
+    klt_tmpl = klt_ops.KltTemplate(
+        patches=blend(state.klt_tmpl.patches, fresh.patches),
+        jac=blend(state.klt_tmpl.jac, fresh.jac),
+        hinv=blend(state.klt_tmpl.hinv, fresh.hinv),
+        mask=jnp.where(new_rows, True, state.klt_tmpl.mask & (status > 0)))
+
+    # --- keyframe ring buffer ---
+    T_wk = se3.inverse(T_cw)
+    kf_T_wk = state.kf_T_wk.at[slot].set(T_wk)
+    kf_valid = state.kf_valid.at[slot].set(True)
+
+    # --- observation snapshot for BA (every tracked feature, incl. new) ---
+    obs_uv = state.obs_uv.at[slot].set(feat_uv)
+    obs_mask = state.obs_mask.at[slot].set(status > 0)
+
+    return state._replace(
+        status=status, feat_uv=feat_uv, feat_level=feat_level, kf_id=kf_id,
+        kf_uv=kf_uv, mu=mu, sigma2=sigma2, a_beta=a_beta, b_beta=b_beta,
+        z_range=z_range, n_upd=n_upd, klt_tmpl=klt_tmpl,
+        kf_T_wk=kf_T_wk, kf_valid=kf_valid,
+        kf_next=state.kf_next + 1, last_kf=slot,
+        obs_uv=obs_uv, obs_mask=obs_mask)

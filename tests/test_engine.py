@@ -1,0 +1,104 @@
+"""End-to-end engine tests on synthetic sequences with exact ground truth
+(SURVEY.md §4.2.2-3): the minimum end-to-end slice of §7.2."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_svo_tpu.config import CameraConfig, SvoConfig
+from stereo_svo_tpu.engine import runner, state as state_mod
+from stereo_svo_tpu.eval import ate
+from stereo_svo_tpu.geometry import se3
+from stereo_svo_tpu.io import synthetic
+
+# Small image for CPU CI speed; bench uses full 752x480 on TPU.
+CFG = SvoConfig(
+    camera=CameraConfig(fx=240.0, fy=240.0, cx=188.0, cy=120.0,
+                        baseline=0.11, width=376, height=240),
+    grid_rows=10, grid_cols=13, max_features=130,
+    num_levels=3, align_levels=3, klt_levels=3,
+    stereo_max_disp=64, kf_min_tracked=40,
+    border_margin=10,
+)
+
+
+@pytest.fixture(scope="module")
+def arc_sequence():
+    return synthetic.make_sequence(CFG.camera, 30, dt=0.12, kind="arc",
+                                   seed=0)
+
+
+def test_bootstrap_creates_keyframe(arc_sequence):
+    lefts, rights, _ = arc_sequence
+    svo = runner.StereoSvo(CFG)
+    out = svo.new_image(lefts[0], rights[0])
+    assert bool(out.kf_inserted)
+    assert int(out.n_seeds) > 60
+    assert bool(jnp.any(svo.state.kf_valid))
+    np.testing.assert_allclose(svo.pose, np.asarray(se3.identity()),
+                               atol=1e-6)
+
+
+def test_sequence_tracks_and_ate_low(arc_sequence):
+    lefts, rights, gt = arc_sequence
+    traj, metrics = runner.run_sequence(CFG, lefts, rights)
+    assert metrics["tracking_ok"].all(), (
+        f"tracking lost at frames {np.where(~metrics['tracking_ok'])[0]}")
+    # every frame after bootstrap keeps a healthy tracked count
+    assert metrics["n_tracked"][1:].min() > 30
+    err = ate.ate_rmse(ate.positions(traj), ate.positions(gt))
+    assert err < 0.02, f"ATE RMSE {err:.4f} m"
+    # rotation drift sanity via RPE
+    t_rpe, r_rpe = ate.rpe(traj, gt)
+    assert t_rpe < 0.01 and r_rpe < 0.005
+
+
+def test_keyframes_inserted_over_motion(arc_sequence):
+    lefts, rights, _ = arc_sequence
+    traj, metrics = runner.run_sequence(CFG, lefts, rights)
+    # the arc trajectory moves ~0.9m through a ~4m scene → several KFs
+    assert metrics["kf_inserted"].sum() >= 2
+    # seeds converge into landmarks as the camera translates
+    assert metrics["n_landmarks"][-1] > 20
+
+
+def test_scan_runner_matches_python_loop(arc_sequence):
+    lefts, rights, _ = arc_sequence
+    lefts_j = jnp.asarray(lefts[:8])
+    rights_j = jnp.asarray(rights[:8])
+    traj_py, _ = runner.run_sequence(CFG, lefts[:8], rights[:8])
+    _, outs = runner.run_sequence_scan(CFG, lefts_j, rights_j)
+    np.testing.assert_allclose(np.asarray(outs.T_wc), traj_py,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_determinism(arc_sequence):
+    """Same inputs → bit-identical trajectory (SURVEY.md §4.2.5)."""
+    lefts, rights, _ = arc_sequence
+    t1, _ = runner.run_sequence(CFG, lefts[:6], rights[:6])
+    t2, _ = runner.run_sequence(CFG, lefts[:6], rights[:6])
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_checkpoint_resume(arc_sequence, tmp_path):
+    """State is one pytree: save/restore mid-sequence reproduces the run
+    (SURVEY.md §5.4)."""
+    from stereo_svo_tpu.utils import checkpoint
+
+    lefts, rights, _ = arc_sequence
+    svo = runner.StereoSvo(CFG)
+    for i in range(4):
+        svo.new_image(lefts[i], rights[i])
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(path, svo.state)
+
+    # continue the original
+    out_a = svo.new_image(lefts[4], rights[4])
+
+    # resume from checkpoint in a fresh engine
+    svo2 = runner.StereoSvo(CFG)
+    svo2.state = checkpoint.load(path, state_mod.init_state(CFG))
+    out_b = svo2.new_image(lefts[4], rights[4])
+
+    np.testing.assert_array_equal(np.asarray(out_a.T_wc),
+                                  np.asarray(out_b.T_wc))
