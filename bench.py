@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark: frames/s/chip for the full SVO pipeline, EuRoC geometry.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N, ...}
+
+Workload: synthetic 752x480 stereo sequence (no EuRoC data in this sandbox
+— SURVEY.md §0) through the full per-frame pipeline (pyramid → sparse align
+→ KLT → pose refine → depth filters → KF policy → window BA) as one
+``lax.scan`` on device; fps excludes rendering (frames are pre-staged in
+device memory, as the reference's fps excludes dataset decode —
+SURVEY.md §7.3.5).
+
+``vs_baseline``: ratio against this same pipeline on host CPU (the
+provisional denominator mandated by BASELINE.md until the reference binary
+can be measured). The CPU number is cached in bench_results/cpu_baseline.json.
+The north-star target is fps > 2x the *reference C++* CPU fps; our own JAX
+CPU fps stands in for it (clearly labeled) while the reference mount is
+empty.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
+N_CPU_FRAMES = int(os.environ.get("BENCH_CPU_FRAMES", "10"))
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_results", "cpu_baseline.json")
+
+
+def _run(n_frames: int, repeats: int = 2):
+    """Render a sequence and time the scan-based pipeline. Returns
+    (fps, ate_rmse, n_kf)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereo_svo_tpu.config import SvoConfig
+    from stereo_svo_tpu.engine import runner
+    from stereo_svo_tpu.eval import ate
+    from stereo_svo_tpu.io import synthetic
+
+    cfg = SvoConfig()
+    cam = cfg.camera
+
+    # pre-stage frames on device (rendering excluded from timing)
+    scene = synthetic.default_scene(0)
+    render = jax.jit(lambda T: synthetic.render_stereo(cam, T, scene))
+    lefts, rights, gts = [], [], []
+    for i in range(n_frames):
+        T = synthetic.trajectory_pose(jnp.asarray(i * 0.08, jnp.float32))
+        l, r = render(T)
+        lefts.append(l)
+        rights.append(r)
+        gts.append(np.asarray(T))
+    lefts = jnp.stack(lefts)
+    rights = jnp.stack(rights)
+    jax.block_until_ready((lefts, rights))
+
+    run = jax.jit(lambda l, r: runner.run_sequence_scan(cfg, l, r))
+    state, outs = run(lefts, rights)           # compile + warmup
+    jax.block_until_ready(outs.T_wc)
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, outs = run(lefts, rights)
+        jax.block_until_ready(outs.T_wc)
+        best = min(best, time.perf_counter() - t0)
+    fps = n_frames / best
+
+    err = ate.ate_rmse(ate.positions(np.asarray(outs.T_wc)),
+                       ate.positions(np.stack(gts)))
+    n_kf = int(np.asarray(outs.kf_inserted).sum())
+    ok = bool(np.asarray(outs.tracking_ok).all())
+    return fps, err, n_kf, ok
+
+
+def _cpu_baseline() -> float:
+    """Measure (or read cached) CPU fps for the same pipeline."""
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            return json.load(f)["cpu_fps"]
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                "BENCH_MODE": "cpu", "XLA_FLAGS": ""})
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800)
+        line = out.stdout.strip().splitlines()[-1]
+        fps = json.loads(line)["value"]
+        os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
+        with open(_CACHE, "w") as f:
+            json.dump({"cpu_fps": fps, "n_frames": N_CPU_FRAMES,
+                       "note": "provisional denominator: our own pipeline "
+                               "on host CPU (BASELINE.md action item 2)"},
+                      f, indent=1)
+        return fps
+    except Exception:
+        return float("nan")
+
+
+def main():
+    if os.environ.get("BENCH_MODE") == "cpu":
+        fps, err, n_kf, ok = _run(N_CPU_FRAMES, repeats=1)
+        print(json.dumps({"metric": "frames_per_s_cpu", "value": fps,
+                          "unit": "frames/s", "vs_baseline": 1.0}))
+        return
+
+    fps, err, n_kf, ok = _run(N_FRAMES)
+    cpu_fps = _cpu_baseline()
+    vs = fps / cpu_fps if cpu_fps == cpu_fps and cpu_fps > 0 else None
+    print(json.dumps({
+        "metric": "frames_per_s_per_chip_synthetic_euroc_752x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "ate_rmse_m": round(err, 4),
+        "tracking_ok": ok,
+        "keyframes": n_kf,
+        "n_frames": N_FRAMES,
+        "baseline_note": "vs_baseline = ratio to this same pipeline on host "
+                         "CPU (provisional per BASELINE.md; reference mount "
+                         "empty)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

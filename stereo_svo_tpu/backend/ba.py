@@ -1,0 +1,224 @@
+"""Keyframe-window bundle adjustment: batched Schur-complement Gauss-Newton.
+
+Reference parity: sliding-window local BA jointly refining keyframe poses +
+landmarks, Schur-style (SURVEY.md §2.1 "Local BA + pose graph"; in the
+BASELINE north star: "sparse Ceres-style BA becomes a distributed
+Schur-complement CG solver over the keyframe mesh").
+
+The reference's sparse per-observation loops become dense *masked block
+tensors*: with K ≤ max_keyframes poses and N ≤ max_features landmarks, all
+(K,N) observation blocks are built in one shot by einsum — the landmark
+block Hll is block-diagonal (3x3 per landmark) and eliminated in closed
+form; the reduced camera system (6K x 6K, tiny) is solved densely. Masks
+make absent observations exact zeros, so the masked dense formulation is
+algebraically identical to the sparse solver while mapping onto the MXU.
+
+The same functions run under ``shard_map`` with landmarks sharded across a
+mesh axis — partial Schur blocks then ``psum`` into the replicated reduced
+system (parallel/dist_ba.py; SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, SvoConfig
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+
+
+class BAStats(NamedTuple):
+    cost_initial: jnp.ndarray
+    cost_final: jnp.ndarray
+    n_obs: jnp.ndarray
+
+
+def _linearize(cam: CameraConfig, cfg: SvoConfig,
+               T_kw: jnp.ndarray, X: jnp.ndarray,
+               obs_uv: jnp.ndarray, obs_ur: jnp.ndarray,
+               w_rows: jnp.ndarray):
+    """Residuals + weighted normal-equation blocks for all (K,N) pairs.
+
+    *Stereo* BA (as the reference is a stereo system): each observation
+    contributes up to three residual rows — left (u, v) plus the right
+    camera's u-coordinate u_r = fx·(x−baseline)/z + cx. The u_r row is what
+    makes scale observable inside the window (monocular BA has a 7-DoF
+    gauge; fixing one KF leaves scale free and noise slides the whole
+    window along it).
+
+    T_kw: (K,3,4) world→KF. X: (N,3). obs_uv: (K,N,2). obs_ur: (K,N).
+    w_rows: (K,N,3) per-row weight masks (row 2 = stereo row; 0 when the
+    disparity was not measured).
+    Returns (Hpp, Hll, Hpl, gp, gl, cost).
+    """
+    x_c = se3.transform(T_kw[:, None], X[None])          # (K,N,3)
+    uv, front = cam_mod.project(cam, x_c)
+    z = jnp.maximum(x_c[..., 2], 1e-3)
+    u_r = cam.fx * (x_c[..., 0] - cam.baseline) / z + cam.cx
+    r = jnp.concatenate([uv - obs_uv, (u_r - obs_ur)[..., None]],
+                        axis=-1)                          # (K,N,3)
+
+    rn = jnp.sqrt(jnp.sum(r * r * (w_rows > 0), axis=-1) + 1e-12)
+    huber = jnp.where(rn <= cfg.ba_huber_px, 1.0,
+                      cfg.ba_huber_px / jnp.maximum(rn, 1e-6))
+    w = w_rows * (huber * front)[..., None]               # (K,N,3)
+
+    # Jacobians w.r.t. camera-frame point: left rows + right-u row.
+    Jproj = cam_mod.proj_jacobian(cam, x_c)               # (K,N,2,3)
+    iz = 1.0 / z
+    Jr3 = jnp.stack([cam.fx * iz, jnp.zeros_like(iz),
+                     -cam.fx * (x_c[..., 0] - cam.baseline) * iz * iz],
+                    axis=-1)                              # (K,N,3)
+    Jc = jnp.concatenate([Jproj, Jr3[..., None, :]], axis=-2)  # (K,N,3,3)
+
+    # pose rows: d x_c/d(v,w) = [I | -hat(x_c)] for left-multiplied twists
+    J_w = -jnp.einsum("knri,knij->knrj", Jc, se3.hat(x_c))
+    Jp = jnp.concatenate([Jc, J_w], axis=-1)              # (K,N,3,6)
+    R_kw = se3.rotation(T_kw)                             # (K,3,3)
+    Jl = jnp.einsum("knri,kij->knrj", Jc, R_kw)           # (K,N,3,3)
+
+    Hpp = jnp.einsum("knri,knr,knrj->kij", Jp, w, Jp,
+                     preferred_element_type=jnp.float32)  # (K,6,6)
+    Hll = jnp.einsum("knri,knr,knrj->nij", Jl, w, Jl,
+                     preferred_element_type=jnp.float32)  # (N,3,3)
+    Hpl = jnp.einsum("knri,knr,knrj->knij", Jp, w, Jl,
+                     preferred_element_type=jnp.float32)  # (K,N,6,3)
+    gp = jnp.einsum("knri,knr,knr->ki", Jp, w, r,
+                    preferred_element_type=jnp.float32)   # (K,6)
+    gl = jnp.einsum("knri,knr,knr->ni", Jl, w, r,
+                    preferred_element_type=jnp.float32)   # (N,3)
+    cost = jnp.sum(w * r * r)
+    return Hpp, Hll, Hpl, gp, gl, cost
+
+
+def _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam, fixed_mask, reduce_fn=None):
+    """Eliminate landmarks; return (S (6K,6K), rhs (6K,), Hll_inv, W).
+
+    ``reduce_fn`` sums partial pose-side blocks across landmark shards
+    (identity on a single device; ``lax.psum`` over the 'kf' mesh axis in
+    the distributed solver — SURVEY.md §5.7). Landmark-side blocks
+    (Hll, W) stay shard-local.
+    """
+    K = Hpp.shape[0]
+    if reduce_fn is None:
+        reduce_fn = lambda x: x
+    I3 = jnp.eye(3, dtype=Hll.dtype)
+    # Damped, mask-safe landmark blocks (dead landmarks → identity).
+    Hll_d = Hll + (lam + 1e-6) * I3[None]
+    deg = jnp.einsum("nii->n", Hll)  # trace as activity proxy
+    Hll_d = jnp.where((deg > 1e-8)[:, None, None], Hll_d, I3[None])
+    Hll_inv = jnp.linalg.inv(Hll_d)                        # (N,3,3)
+
+    # S_{k,k'} = δ·Hpp_k − Σ_j Hpl_kj Hll_j^{-1} Hpl_k'j^T
+    W = jnp.einsum("knij,njl->knil", Hpl, Hll_inv)         # (K,N,6,3)
+    S_off = jnp.einsum("knil,mnjl->kmij", W, Hpl,
+                       preferred_element_type=jnp.float32)  # (K,K,6,6)
+    rhs_l = jnp.einsum("knil,nl->ki", W, gl)               # (K,6)
+
+    # cross-shard reduction of everything that sums over landmarks
+    Hpp = reduce_fn(Hpp)
+    gp = reduce_fn(gp)
+    S_off = reduce_fn(S_off)
+    rhs_l = reduce_fn(rhs_l)
+
+    S = -S_off
+    diag = Hpp + lam * jnp.eye(6, dtype=Hpp.dtype)[None]
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(diag)
+    rhs = -(gp - rhs_l)                                    # (K,6)
+
+    # Gauge fixing: huge prior on fixed poses pins their deltas to ~0.
+    big = 1e12
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        big * fixed_mask[:, None, None] * jnp.eye(6, dtype=S.dtype)[None])
+
+    S_flat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    rhs_flat = rhs.reshape(6 * K)
+    return S_flat, rhs_flat, Hll_inv, W
+
+
+def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
+                 T_kw: jnp.ndarray, X: jnp.ndarray,
+                 obs_uv: jnp.ndarray, obs_ur: jnp.ndarray,
+                 w_rows: jnp.ndarray,
+                 fixed_mask: jnp.ndarray, lam: float = 1e-3,
+                 reduce_fn=None):
+    """One damped GN step. Returns (T_kw', X', cost_before).
+
+    With ``reduce_fn = partial(lax.psum, axis_name='kf')`` and
+    landmark-sharded inputs this same function is the distributed
+    Schur-complement BA step (parallel/dist_ba.py).
+    """
+    K = T_kw.shape[0]
+    Hpp, Hll, Hpl, gp, gl, cost = _linearize(
+        cam, cfg, T_kw, X, obs_uv, obs_ur, w_rows)
+    S, rhs, Hll_inv, W = _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam,
+                                       fixed_mask, reduce_fn)
+    dp = jnp.linalg.solve(S, rhs).reshape(K, 6)            # (K,6)
+    # Back-substitute landmarks: δl = -Hll⁻¹ (gl + Hlpᵀ·δp)
+    Hlp_dp = jnp.einsum("knij,ki->nj", Hpl, dp)            # (N,3)
+    dl = -jnp.einsum("nij,nj->ni", Hll_inv, gl + Hlp_dp)
+    # clamp pathological steps (masked/degenerate landmarks)
+    dl = jnp.clip(dl, -1.0, 1.0)
+    dp = dp * (1.0 - fixed_mask)[:, None]
+
+    T_kw_new = jax.vmap(lambda t, d: se3.compose(se3.exp(d), t))(T_kw, dp)
+    X_new = X + dl
+    return T_kw_new, X_new, cost
+
+
+def obs_weights(kf_valid: jnp.ndarray, X_mask: jnp.ndarray,
+                obs_mask: jnp.ndarray, obs_dmask: jnp.ndarray
+                ) -> jnp.ndarray:
+    """(K,N,3) per-row weights: rows 0-1 = left (u,v), row 2 = stereo u_r."""
+    base = obs_mask & kf_valid[:, None] & X_mask[None]
+    w_lr = base.astype(jnp.float32)
+    w_st = (base & obs_dmask).astype(jnp.float32)
+    return jnp.stack([w_lr, w_lr, w_st], axis=-1)
+
+
+def bundle_adjust(cam: CameraConfig, cfg: SvoConfig,
+                  kf_T_wk: jnp.ndarray, kf_valid: jnp.ndarray,
+                  X: jnp.ndarray, X_mask: jnp.ndarray,
+                  obs_uv: jnp.ndarray, obs_mask: jnp.ndarray,
+                  obs_disp: jnp.ndarray | None = None,
+                  obs_dmask: jnp.ndarray | None = None,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, BAStats]:
+    """Window BA over the keyframe ring buffer + landmark set.
+
+    obs_disp: (K,N) measured stereo disparity at each observation (the
+    right-camera u is obs_uv[...,0] − disp). When omitted the solve is
+    monocular (legacy / testing only — scale then rides the gauge).
+
+    Gauge: the oldest valid keyframe is held fixed. Dead keyframes /
+    landmarks participate with zero weights (masked dense formulation).
+    """
+    K = kf_T_wk.shape[0]
+    T_kw = se3.inverse(kf_T_wk)
+    if obs_disp is None:
+        obs_disp = jnp.zeros(obs_mask.shape, jnp.float32)
+        obs_dmask = jnp.zeros(obs_mask.shape, bool)
+    obs_ur = obs_uv[..., 0] - obs_disp
+    w_rows = obs_weights(kf_valid, X_mask, obs_mask, obs_dmask)
+
+    # oldest valid KF = ring-order-first: approximate with the lowest slot
+    # index among valid (ring order tracked by caller via kf_next if needed)
+    first_valid = jnp.argmax(kf_valid)     # first True
+    fixed_mask = (jnp.arange(K) == first_valid).astype(jnp.float32)
+    fixed_mask = jnp.clip(
+        fixed_mask + (1.0 - kf_valid.astype(jnp.float32)), 0.0, 1.0)
+
+    def body(carry, _):
+        T_kw, X = carry
+        T_kw, X, cost = ba_iteration(cam, cfg, T_kw, X, obs_uv, obs_ur,
+                                     w_rows, fixed_mask)
+        return (T_kw, X), cost
+
+    (T_kw, X), costs = jax.lax.scan(body, (T_kw, X), None,
+                                    length=cfg.ba_iters)
+    *_, cost_final = _linearize(cam, cfg, T_kw, X, obs_uv, obs_ur, w_rows)
+    stats = BAStats(cost_initial=costs[0], cost_final=cost_final,
+                    n_obs=jnp.sum(w_rows[..., 0] > 0))
+    return se3.inverse(T_kw), X, stats

@@ -1,0 +1,119 @@
+"""Command-line app: run the SVO engine over a dataset, export trajectory.
+
+Reference parity: the main CLI app — parse args, construct the input
+reader, loop frames through the engine, export the trajectory, report fps
+(SURVEY.md §2.1 "Main CLI app", §3.4; src/app/main.cpp [UNVERIFIED]).
+The Qt viewer is intentionally replaced by optional overlay dumps
+(SURVEY.md §5.5, §7.4).
+
+Usage:
+  python -m stereo_svo_tpu.cli --dataset euroc --root <dir> --out traj.tum
+  python -m stereo_svo_tpu.cli --dataset kitti --root <dir> --seq 00
+  python -m stereo_svo_tpu.cli --dataset synthetic --frames 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from .config import SvoConfig, euroc_config, kitti_config
+from .engine.runner import StereoSvo
+from .eval import ate as ate_mod
+from .io import calib, datasets, synthetic, trajectory
+
+
+def _frame_source(args, cfg):
+    if args.dataset == "euroc":
+        rect = None
+        if args.cam0_yaml and args.cam1_yaml:
+            cfg, rect = calib.euroc_rectified_config(
+                args.cam0_yaml, args.cam1_yaml, base=cfg)
+        return cfg, datasets.euroc_frames(args.root, rect)
+    if args.dataset == "kitti":
+        return cfg, datasets.kitti_frames(args.root, args.seq)
+    if args.dataset == "video":
+        return cfg, datasets.video_frames(args.root, args.right)
+    if args.dataset == "synthetic":
+        lefts, rights, gts = synthetic.make_sequence(
+            cfg.camera, args.frames, kind="arc", seed=args.seed)
+        src = ((lefts[i], rights[i], i * 0.1) for i in range(args.frames))
+        return cfg, src
+    raise ValueError(args.dataset)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True,
+                   choices=["euroc", "kitti", "video", "synthetic"])
+    p.add_argument("--root", help="dataset root / video path")
+    p.add_argument("--right", help="right video file (video mode)")
+    p.add_argument("--seq", default="00", help="KITTI sequence id")
+    p.add_argument("--calib", help="flat YAML calibration/config file")
+    p.add_argument("--cam0-yaml", help="EuRoC cam0 sensor.yaml")
+    p.add_argument("--cam1-yaml", help="EuRoC cam1 sensor.yaml")
+    p.add_argument("--out", default="trajectory.tum")
+    p.add_argument("--format", default="tum", choices=["tum", "kitti"])
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics-out", help="write per-frame metrics JSON")
+    args = p.parse_args(argv)
+
+    if args.dataset == "euroc":
+        cfg = euroc_config()
+    elif args.dataset == "kitti":
+        cfg = kitti_config()
+    else:
+        cfg = SvoConfig()
+    if args.calib:
+        cfg = calib.load_flat_yaml(args.calib, base=cfg)
+
+    cfg, frames = _frame_source(args, cfg)
+    svo = StereoSvo(cfg)
+
+    timestamps = []
+    t0 = time.perf_counter()
+    n = 0
+    for left, right, ts in frames:
+        out = svo.new_image(left, right)
+        timestamps.append(ts)
+        n += 1
+        if n % 50 == 0:
+            fps = n / (time.perf_counter() - t0)
+            print(f"frame {n}: {fps:.1f} fps, tracked="
+                  f"{int(out.n_tracked)}, kfs="
+                  f"{int(np.sum([m for m in svo.metrics()['kf_inserted']]))}",
+                  file=sys.stderr)
+        if args.max_frames and n >= args.max_frames:
+            break
+    elapsed = time.perf_counter() - t0
+
+    traj = svo.trajectory()
+    if args.format == "tum":
+        trajectory.save_tum(args.out, traj, timestamps)
+    else:
+        trajectory.save_kitti(args.out, traj)
+
+    metrics = svo.metrics()
+    summary = {
+        "frames": n,
+        "fps": n / elapsed,
+        "keyframes": int(metrics["kf_inserted"].sum()),
+        "tracking_ok_frac": float(metrics["tracking_ok"].mean()),
+        "mean_tracked": float(metrics["n_tracked"][1:].mean()) if n > 1 else 0,
+        "out": args.out,
+    }
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump({k: np.asarray(v).tolist() for k, v in
+                       metrics.items()} | {"summary": summary}, f)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

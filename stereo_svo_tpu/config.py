@@ -93,6 +93,7 @@ class SvoConfig:
     kf_dist_ratio: float = 0.12    # or translation / median scene depth above
 
     # --- bundle adjustment (backend) ---
+    use_ba: bool = True            # run window BA at each KF insertion
     ba_max_points: int = 512       # landmark capacity in the BA problem
     ba_iters: int = 5              # GN/LM outer iterations
     ba_huber_px: float = 2.0

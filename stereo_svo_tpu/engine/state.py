@@ -63,6 +63,8 @@ class SlamState(NamedTuple):
     # --- BA observation graph (K,N) ---
     obs_uv: jnp.ndarray      # (K,N,2) feature position snapshot at KF creation
     obs_mask: jnp.ndarray    # (K,N) bool
+    obs_disp: jnp.ndarray    # (K,N) stereo disparity at snapshot (BA row 3)
+    obs_dmask: jnp.ndarray   # (K,N) bool — disparity measured & trusted
 
 
 class FrameOut(NamedTuple):
@@ -120,4 +122,6 @@ def init_state(cfg: SvoConfig) -> SlamState:
         last_kf=jnp.asarray(0, jnp.int32),
         obs_uv=jnp.zeros((K, N, 2), f32),
         obs_mask=jnp.zeros((K, N), bool),
+        obs_disp=jnp.zeros((K, N), f32),
+        obs_dmask=jnp.zeros((K, N), bool),
     )

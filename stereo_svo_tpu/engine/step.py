@@ -47,6 +47,37 @@ def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return s[idx]
 
 
+def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
+    """Window stereo BA over the keyframe ring + converged landmarks,
+    writing refined geometry back into the anchor parameterization
+    (SURVEY.md §7.1 stage 6). Seeds keep their recursive filters."""
+    from ..backend import ba as ba_mod  # local import: engine↔backend cycle
+
+    cam = cfg.camera
+    X = world_points(cfg, st)
+    X_mask = st.status == STATUS_LANDMARK
+    kf_T_wk, X_new, stats = ba_mod.bundle_adjust(
+        cam, cfg, st.kf_T_wk, st.kf_valid, X, X_mask,
+        st.obs_uv, st.obs_mask, st.obs_disp, st.obs_dmask)
+
+    # Divergence guard: a GN step on adversarial data (gross outliers past
+    # the gates) must never corrupt the map — accept only if cost dropped.
+    ok = stats.cost_final < stats.cost_initial
+    kf_T_wk = jnp.where(ok, kf_T_wk, st.kf_T_wk)
+    X_new = jnp.where(ok, X_new, X)
+
+    # Fold the refined world point back into the anchor parameterization.
+    # The anchor pixel kf_uv stays put — it is the feature's *photometric*
+    # identity (KLT/align templates were sampled there); BA's refinement is
+    # absorbed along the anchor bearing as an inverse-depth update only.
+    T_kw = se3.inverse(kf_T_wk)
+    x_k = se3.transform(T_kw[st.kf_id], X_new)         # (N,3)
+    z = x_k[..., 2]
+    good = X_mask & (z > 0.1)
+    mu = jnp.where(good, 1.0 / jnp.maximum(z, 1e-3), st.mu)
+    return st._replace(kf_T_wk=kf_T_wk, mu=mu)
+
+
 def _rebuild_template(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
                       T_cw: jnp.ndarray) -> SlamState:
     """Anchor the next frame's alignment template at the current frame."""
@@ -152,12 +183,17 @@ def make_step(cfg: SvoConfig):
             need_kf = ok & ((n_inl < cfg.kf_min_tracked)
                             | (kf_dist > cfg.kf_dist_ratio * med_depth))
 
-            st = jax.lax.cond(
-                need_kf,
-                lambda s: keyframe.insert(cfg, s, pyr_l, gxs, gys, img_r,
-                                          T_cw),
-                lambda s: s,
-                st)
+            def _insert(s):
+                s = keyframe.insert(cfg, s, pyr_l, gxs, gys, img_r, T_cw)
+                if cfg.use_ba:
+                    s = run_window_ba(cfg, s)
+                return s
+
+            st = jax.lax.cond(need_kf, _insert, lambda s: s, st)
+            # BA may have moved the newest keyframe (== this frame).
+            T_cw_kf = se3.inverse(st.kf_T_wk[st.last_kf])
+            T_cw = jax.tree.map(
+                lambda a, b: jnp.where(need_kf, a, b), T_cw_kf, T_cw)
 
             # --- 7. re-anchor next frame's alignment template ---
             st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)

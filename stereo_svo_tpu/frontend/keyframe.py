@@ -110,8 +110,28 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     kf_valid = state.kf_valid.at[slot].set(True)
 
     # --- observation snapshot for BA (every tracked feature, incl. new) ---
+    # Re-match stereo at ALL tracked features' current positions so each
+    # keyframe observation carries a disparity: the stereo residual row is
+    # what pins scale in the window BA (backend/ba.py). A raw epipolar
+    # match can lock onto occlusions/repeated texture with confident but
+    # wrong disparity, so each measurement is gated against the disparity
+    # predicted by the feature's own depth estimate (the recursive filter's
+    # posterior) — the BA only ever sees consistent stereo rows.
+    disp_all, _, disp_ok = stereo_match.match(
+        pyr_l[0], img_r, feat_uv, cfg.stereo_max_disp, cfg.stereo_patch,
+        min_zncc=0.7)
+    p_kf = cam_mod.backproject(cam, kf_uv, 1.0 / jnp.maximum(mu, 1e-4))
+    # world → current-camera depth of each feature (anchors already updated)
+    T_wk_per = kf_T_wk[kf_id]                               # (N,3,4)
+    X_w = se3.transform(T_wk_per, p_kf)
+    z_cur = se3.transform(T_cw, X_w)[..., 2]
+    disp_pred = cam.fx * cam.baseline / jnp.maximum(z_cur, 1e-3)
+    consistent = jnp.abs(disp_all - disp_pred) < 2.0
     obs_uv = state.obs_uv.at[slot].set(feat_uv)
     obs_mask = state.obs_mask.at[slot].set(status > 0)
+    obs_disp = state.obs_disp.at[slot].set(disp_all)
+    obs_dmask = state.obs_dmask.at[slot].set(
+        disp_ok & consistent & (status > 0))
 
     return state._replace(
         status=status, feat_uv=feat_uv, feat_level=feat_level, kf_id=kf_id,
@@ -119,4 +139,5 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
         z_range=z_range, n_upd=n_upd, klt_tmpl=klt_tmpl,
         kf_T_wk=kf_T_wk, kf_valid=kf_valid,
         kf_next=state.kf_next + 1, last_kf=slot,
-        obs_uv=obs_uv, obs_mask=obs_mask)
+        obs_uv=obs_uv, obs_mask=obs_mask,
+        obs_disp=obs_disp, obs_dmask=obs_dmask)

@@ -68,23 +68,29 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) (…,3,3) -> so(3) (…,3). Stable for theta in [0, pi)."""
+    """SO(3) (…,3,3) -> so(3) (…,3). Stable for theta in [0, pi).
+
+    Autodiff-safe at theta→0: arccos'(1) = -inf, so the small-angle branch
+    is a polynomial in cos(theta) and the arccos input is substituted with
+    a dummy value where unused (the standard double-where trick — a plain
+    `where` would still propagate NaN through the dead branch's tangent).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     vee = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1)
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    # w = theta / (2 sin theta) * vee;   near 0: 0.5 * (1 + theta^2/6) * vee
-    scale = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,
-        theta / (2.0 * jnp.where(small, 1.0, sin_t)),
-    )
+    small = cos_t > 1.0 - 1e-5
+    cos_safe = jnp.where(small, 0.0, cos_t)
+    theta = jnp.arccos(cos_safe)
+    sin_safe = jnp.sqrt(jnp.maximum(1.0 - cos_safe * cos_safe, 1e-12))
+    scale_big = theta / (2.0 * sin_safe)
+    # theta/(2 sin theta) = 1/2 + theta²/12 + …, with theta² ≈ 2(1-cos)
+    one_m_c = 1.0 - cos_t
+    scale_small = 0.5 + one_m_c / 6.0 + one_m_c * one_m_c * 7.0 / 90.0
+    scale = jnp.where(small, scale_small, scale_big)
     # Near theta == pi the vee formula degenerates; SLAM increments never
     # reach pi in one GN step, but clamp for safety via the diagonal method.
     return scale[..., None] * vee

@@ -1,0 +1,185 @@
+"""Backend tests: Schur BA, pose graph, distributed BA parity
+(SURVEY.md §4.2.4: multi-host paths on the CPU-simulated 8-device mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_svo_tpu.backend import ba, pose_graph
+from stereo_svo_tpu.config import CameraConfig, SvoConfig
+from stereo_svo_tpu.geometry import camera as cam_mod
+from stereo_svo_tpu.geometry import se3
+from stereo_svo_tpu.parallel import dist_ba, mesh as mesh_mod
+
+CAM = CameraConfig(fx=300.0, fy=300.0, cx=188.0, cy=120.0, baseline=0.11,
+                   width=376, height=240)
+CFG = SvoConfig(camera=CAM, ba_iters=6, max_keyframes=5)
+RNG = np.random.default_rng(5)
+
+
+def _make_problem(K=5, N=64, pose_noise=0.01, point_noise=0.02,
+                  px_noise=0.0, drop=0.0, seed=5):
+    """Ground-truth multi-view *stereo* geometry + perturbed initial
+    estimates. Returns disparity observations as well (stereo BA rows)."""
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(2, 6, N)
+    uv0 = np.stack([rng.uniform(30, CAM.width - 30, N),
+                    rng.uniform(30, CAM.height - 30, N)], -1)
+    X_gt = np.asarray(cam_mod.backproject(
+        CAM, jnp.asarray(uv0, jnp.float32), jnp.asarray(z, jnp.float32)))
+    T_wk_gt = np.stack([np.asarray(se3.exp(jnp.asarray(
+        [0.08 * k, 0.02 * k, 0.05 * k, 0.0, 0.015 * k, 0.005 * k],
+        jnp.float32))) for k in range(K)])
+
+    obs = np.zeros((K, N, 2), np.float32)
+    disp = np.zeros((K, N), np.float32)
+    mask = np.zeros((K, N), bool)
+    for k in range(K):
+        x_c = se3.transform(se3.inverse(jnp.asarray(T_wk_gt[k])),
+                            jnp.asarray(X_gt, jnp.float32))
+        uv, front = cam_mod.project(CAM, x_c)
+        inb = np.asarray(cam_mod.in_bounds(CAM, uv, margin=2.0))
+        obs[k] = np.asarray(uv) + rng.normal(0, px_noise, (N, 2))
+        disp[k] = (CAM.fx * CAM.baseline / np.asarray(x_c)[:, 2]
+                   + rng.normal(0, px_noise, N))
+        mask[k] = np.asarray(front) & inb & (rng.uniform(size=N) >= drop)
+
+    # perturb initial estimates (keep KF0 exact: it's the gauge)
+    T_wk_init = T_wk_gt.copy()
+    for k in range(1, K):
+        d = np.concatenate([rng.normal(0, pose_noise, 3),
+                            rng.normal(0, pose_noise / 3, 3)])
+        T_wk_init[k] = np.asarray(se3.compose(
+            se3.exp(jnp.asarray(d, jnp.float32)), jnp.asarray(T_wk_gt[k])))
+    X_init = X_gt + rng.normal(0, point_noise, (N, 3))
+    return (jnp.asarray(T_wk_init), jnp.asarray(X_init),
+            jnp.asarray(obs), jnp.asarray(mask), T_wk_gt, X_gt,
+            jnp.asarray(disp))
+
+
+def test_ba_recovers_geometry():
+    T_init, X_init, obs, mask, T_gt, X_gt, disp = _make_problem(seed=5)
+    K, N = mask.shape
+    T_out, X_out, stats = jax.jit(lambda t, x: ba.bundle_adjust(
+        CAM, CFG, t, jnp.ones(K, bool), x, jnp.ones(N, bool), obs, mask,
+        disp, mask))(T_init, X_init)
+    assert float(stats.cost_final) < float(stats.cost_initial) * 1e-3
+    for k in range(K):
+        dr, dt = se3.distance(T_out[k], jnp.asarray(T_gt[k]))
+        assert float(dt) < 2e-3, f"KF{k} translation error {float(dt)}"
+        assert float(dr) < 1e-3
+    # Landmark depth is weakly observable with short baselines (2 cm along
+    # the ray ≈ 0.01 px residual at 5 m): tolerance reflects that, while
+    # the reprojection cost above pins overall consistency.
+    np.testing.assert_allclose(np.asarray(X_out), X_gt, atol=5e-2)
+
+
+def test_ba_noisy_observations_reduce_error():
+    T_init, X_init, obs, mask, T_gt, X_gt, disp = _make_problem(
+        px_noise=0.4, drop=0.25, seed=6)
+    K, N = mask.shape
+    T_out, X_out, stats = ba.bundle_adjust(
+        CAM, CFG, T_init, jnp.ones(K, bool), X_init, jnp.ones(N, bool),
+        obs, mask, disp, mask)
+    # pose error must shrink vs the initialization
+    err0 = [float(se3.distance(T_init[k], jnp.asarray(T_gt[k]))[1])
+            for k in range(1, K)]
+    err1 = [float(se3.distance(T_out[k], jnp.asarray(T_gt[k]))[1])
+            for k in range(1, K)]
+    assert np.mean(err1) < 0.4 * np.mean(err0)
+
+
+def test_ba_respects_masks():
+    """Dead keyframes/landmarks must not move or poison the solve."""
+    T_init, X_init, obs, mask, T_gt, X_gt, disp = _make_problem(seed=7)
+    K, N = mask.shape
+    kf_valid = jnp.asarray([True, True, True, True, False])
+    X_mask = jnp.arange(N) < N - 8
+    X_poison = X_init.at[N - 4].set(jnp.asarray([jnp.nan] * 3))
+    # NaN in a dead landmark must not leak: zero-weight rows are zeroed in
+    # the masked formulation only if data is finite → keep dead rows finite.
+    X_poison = X_init.at[N - 4].set(jnp.asarray([100.0, 100.0, -50.0]))
+    T_out, X_out, _ = ba.bundle_adjust(
+        CAM, CFG, T_init, kf_valid, X_poison, X_mask, obs, mask, disp, mask)
+    # invalid KF unchanged
+    np.testing.assert_allclose(np.asarray(T_out[4]), np.asarray(T_init[4]),
+                               atol=1e-5)
+    # dead landmark unchanged
+    np.testing.assert_allclose(np.asarray(X_out[N - 4]),
+                               np.asarray(X_poison[N - 4]), atol=1e-5)
+    # live geometry still recovered
+    for k in range(1, 4):
+        _, dt = se3.distance(T_out[k], jnp.asarray(T_gt[k]))
+        assert float(dt) < 2e-3
+
+
+def test_distributed_ba_matches_single_device():
+    """shard_map + psum over the 8-device CPU mesh vs the dense solver
+    (SURVEY.md §7.3.4: parity up to reduction order)."""
+    T_init, X_init, obs, mask, T_gt, X_gt, disp = _make_problem(
+        K=4, N=64, seed=8)
+    K, N = mask.shape
+    cfg = SvoConfig(camera=CAM, ba_iters=4, max_keyframes=4)
+
+    T_ref, X_ref, _ = ba.bundle_adjust(
+        CAM, cfg, T_init, jnp.ones(K, bool), X_init, jnp.ones(N, bool),
+        obs, mask, disp, mask)
+
+    mesh = mesh_mod.make(8, axis_name="kf")
+    T_dist, X_dist = dist_ba.bundle_adjust_sharded(
+        mesh, CAM, cfg, T_init, jnp.ones(K, bool), X_init,
+        jnp.ones(N, bool), obs, mask, disp, mask)
+    np.testing.assert_allclose(np.asarray(T_dist), np.asarray(T_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(X_dist), np.asarray(X_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pose_graph_distributes_loop_error():
+    """Chain of noisy odometry edges + one exact loop-closure edge: the
+    optimizer must pull the chain toward the loop constraint."""
+    K = 8
+    # ground truth: poses along a line
+    T_gt = [np.asarray(se3.exp(jnp.asarray([0.5 * k, 0, 0, 0, 0, 0.02 * k],
+                                           jnp.float32))) for k in range(K)]
+    # odometry with a consistent bias (drift)
+    edges_i = list(range(K - 1))
+    edges_j = list(range(1, K))
+    Z = []
+    for i in range(K - 1):
+        rel = se3.compose(se3.inverse(jnp.asarray(T_gt[i])),
+                          jnp.asarray(T_gt[i + 1]))
+        drift = se3.exp(jnp.asarray([0.03, 0.01, 0.0, 0.0, 0.0, 0.005],
+                                    jnp.float32))
+        Z.append(np.asarray(se3.compose(rel, drift)))
+    # loop closure: exact relative pose between first and last
+    edges_i.append(0)
+    edges_j.append(K - 1)
+    Z.append(np.asarray(se3.compose(se3.inverse(jnp.asarray(T_gt[0])),
+                                    jnp.asarray(T_gt[K - 1]))))
+    graph = pose_graph.PoseGraph(
+        edges_ij=jnp.asarray(np.stack([edges_i, edges_j], -1), jnp.int32),
+        Z=jnp.asarray(np.stack(Z)),
+        weight=jnp.ones(len(Z), jnp.float32).at[-1].set(20.0))
+
+    # integrate drifty odometry as the initialization
+    T_init = [jnp.asarray(T_gt[0])]
+    for i in range(K - 1):
+        T_init.append(se3.compose(T_init[-1], jnp.asarray(Z[i])))
+    T_init = jnp.stack(T_init)
+    end_err0 = float(se3.distance(T_init[-1], jnp.asarray(T_gt[-1]))[1])
+
+    T_opt, cost = pose_graph.optimize(T_init, jnp.ones(K, bool), graph,
+                                      n_iters=15)
+    end_err1 = float(se3.distance(T_opt[-1], jnp.asarray(T_gt[-1]))[1])
+    assert end_err1 < 0.25 * end_err0, (end_err0, end_err1)
+
+
+def test_pose_graph_chain_builder():
+    K = 5
+    T = jnp.stack([se3.exp(jnp.asarray([0.1 * k, 0, 0, 0, 0, 0],
+                                       jnp.float32)) for k in range(K)])
+    valid = jnp.asarray([True, True, True, False, True])
+    g = pose_graph.chain_graph(T, valid)
+    assert g.edges_ij.shape == (K - 1, 2)
+    assert g.weight.tolist() == [1.0, 1.0, 0.0, 0.0]

@@ -1,0 +1,56 @@
+"""Parallelism tests: vmapped multi-sequence odometry (config #4) and the
+driver's multi-chip dry-run path (SURVEY.md §2.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as graft
+from stereo_svo_tpu.config import CameraConfig, SvoConfig
+from stereo_svo_tpu.engine import runner
+from stereo_svo_tpu.eval import ate
+from stereo_svo_tpu.io import synthetic
+
+CFG = SvoConfig(
+    camera=CameraConfig(fx=160.0, fy=160.0, cx=94.0, cy=60.0,
+                        baseline=0.11, width=188, height=120),
+    grid_rows=6, grid_cols=8, max_features=48,
+    num_levels=3, align_levels=3, klt_levels=2,
+    stereo_max_disp=32, kf_min_tracked=15, border_margin=8,
+    max_keyframes=4)
+
+
+def test_vmapped_multisequence_matches_single():
+    """Batched odometry over 2 different scenes == running each alone."""
+    seqs = []
+    for seed in (0, 3):
+        seqs.append(synthetic.make_sequence(CFG.camera, 6, dt=0.1,
+                                            kind="arc", seed=seed))
+    lefts = jnp.asarray(np.stack([s[0] for s in seqs]))
+    rights = jnp.asarray(np.stack([s[1] for s in seqs]))
+
+    _, outs = jax.jit(
+        lambda l, r: runner.run_sequence_batched(CFG, l, r))(lefts, rights)
+    assert outs.T_wc.shape[:2] == (2, 6)
+
+    for b in range(2):
+        _, solo = runner.run_sequence_scan(
+            CFG, lefts[b], rights[b])
+        # vmap turns lax.cond into select and changes fusion order; the
+        # trajectories agree to float32 noise, not bitwise.
+        np.testing.assert_allclose(np.asarray(outs.T_wc[b]),
+                                   np.asarray(solo.T_wc),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_graft_entry_compiles():
+    fn, args = graft.entry()
+    # abstract compile only — full 752x480 execution is the TPU bench's job
+    lowered = jax.jit(fn).lower(*args)
+    compiled_text = lowered.as_text()
+    assert "func" in compiled_text  # produced StableHLO
+
+
+def test_dryrun_multichip_8():
+    graft.dryrun_multichip(8)
