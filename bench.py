@@ -106,6 +106,47 @@ def _cpu_baseline() -> float:
         return float("nan")
 
 
+def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2):
+    """Config #4: `batch` sequences vmapped on one chip; aggregate fps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereo_svo_tpu.config import SvoConfig
+    from stereo_svo_tpu.engine import runner
+    from stereo_svo_tpu.io import synthetic
+
+    cfg = SvoConfig()
+    cam = cfg.camera
+    lefts, rights = [], []
+    for b in range(batch):
+        scene = synthetic.default_scene(b)
+        render = jax.jit(lambda T, s=scene: synthetic.render_stereo(cam, T, s))
+        ls, rs = [], []
+        for i in range(n_frames):
+            T = synthetic.trajectory_pose(jnp.asarray(i * 0.08, jnp.float32))
+            l, r = render(T)
+            ls.append(l)
+            rs.append(r)
+        lefts.append(jnp.stack(ls))
+        rights.append(jnp.stack(rs))
+    lefts = jnp.stack(lefts)
+    rights = jnp.stack(rights)
+    jax.block_until_ready((lefts, rights))
+
+    run = jax.jit(lambda l, r: runner.run_sequence_batched(cfg, l, r))
+    _, outs = run(lefts, rights)
+    jax.block_until_ready(outs.T_wc)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, outs = run(lefts, rights)
+        jax.block_until_ready(outs.T_wc)
+        best = min(best, time.perf_counter() - t0)
+    ok = bool(np.asarray(outs.tracking_ok).all())
+    return batch * n_frames / best, ok
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "cpu":
         fps, err, n_kf, ok = _run(N_CPU_FRAMES, repeats=1)
@@ -114,6 +155,9 @@ def main():
         return
 
     fps, err, n_kf, ok = _run(N_FRAMES)
+    fps_b, ok_b = (None, True)
+    if os.environ.get("BENCH_SKIP_BATCHED") != "1":
+        fps_b, ok_b = _run_batched(max(N_FRAMES // 4, 10))
     cpu_fps = _cpu_baseline()
     vs = fps / cpu_fps if cpu_fps == cpu_fps and cpu_fps > 0 else None
     print(json.dumps({
@@ -121,8 +165,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "batched8_frames_per_s": round(fps_b, 2) if fps_b else None,
         "ate_rmse_m": round(err, 4),
-        "tracking_ok": ok,
+        "tracking_ok": ok and ok_b,
         "keyframes": n_kf,
         "n_frames": N_FRAMES,
         "baseline_note": "vs_baseline = ratio to this same pipeline on host "
