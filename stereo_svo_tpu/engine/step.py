@@ -123,7 +123,15 @@ def make_step(cfg: SvoConfig):
 
         def track(st: SlamState):
             # --- 1. sparse direct alignment vs previous frame ---
-            T_init = se3.exp(st.vel)
+            # Relocalization seed (SURVEY.md §5.3): after a failed frame the
+            # constant-velocity prior is meaningless — restart the search
+            # from the last keyframe's pose instead.
+            T_init_vel = se3.exp(st.vel)
+            T_kf_rel = se3.compose(se3.inverse(st.kf_T_wk[st.last_kf]),
+                                   se3.inverse(st.T_pw))
+            T_init = jax.tree.map(
+                lambda a, b: jnp.where(st.tracking_ok, a, b),
+                T_init_vel, T_kf_rel)
             T_cp, align_stats = align_ops.align(pyr_l, st.tmpl, cam, cfg,
                                                 T_init)
             T_cw_pred = se3.compose(T_cp, st.T_pw)
@@ -150,15 +158,18 @@ def make_step(cfg: SvoConfig):
                 lambda a, b: jnp.where(ok, a, b), T_cw, T_cw_pred)
 
             # --- 4. feature bookkeeping ---
-            lost = active & (~in_img | (klt_mask & ~klt_ok)
-                             | (tracked & ~inliers))
+            # On a failed frame nothing is trusted: keep features alive so
+            # the relocalization attempt next frame still has its map.
+            lost = ok & active & (~in_img | (klt_mask & ~klt_ok)
+                                  | (tracked & ~inliers))
             status = jnp.where(lost, STATUS_DEAD, st.status)
-            feat_uv = jnp.where((tracked & inliers)[:, None], uv_ref, uv_pred)
+            feat_uv = jnp.where((ok & tracked & inliers)[:, None],
+                                uv_ref, uv_pred)
 
             # --- 5. recursive depth-filter updates (seeds only) ---
             T_wk_per = st.kf_T_wk[st.kf_id]
             T_ck = se3.compose(T_cw[None], T_wk_per)       # (N,3,4)
-            seeds = (status == STATUS_SEED) & inliers
+            seeds = ok & (status == STATUS_SEED) & inliers
             upd = depth_filter.observe_and_update(
                 cam, cfg, T_ck, st.kf_uv, feat_uv,
                 st.mu, st.sigma2, st.a_beta, st.b_beta, st.z_range, seeds)

@@ -70,9 +70,9 @@ def make_template(levels: Sequence[jnp.ndarray],
         scale = 1.0 / (2 ** lv)
         uv_l = uv * scale
         pts = uv_l[:, None, :] + offs[None]          # (N, P2, 2)
-        patch = interp.bilinear(levels[lv], pts)     # (N, P2)
-        gu = interp.bilinear(gxs[lv], pts)
-        gv = interp.bilinear(gys[lv], pts)
+        patch = interp.sample_patch(levels[lv], uv_l, P)   # (N, P2)
+        gu = interp.sample_patch(gxs[lv], uv_l, P)
+        gv = interp.sample_patch(gys[lv], uv_l, P)
         # 3-D point of each patch pixel at the center's depth
         p_pix = camera.backproject(cam, pts * (2 ** lv),
                                    jnp.broadcast_to(z[:, None], pts.shape[:2]))
@@ -122,7 +122,7 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
             p_cur = se3.transform(T, tmpl.p_ref)     # (N, 3)
             uv_c, front = camera.project(cam, p_cur, level=lv)
             pts = uv_c[:, None, :] + offs[None]      # (N, P2, 2)
-            cur = interp.bilinear(img, pts)          # (N, P2)
+            cur = interp.sample_patch(img, uv_c, P)  # (N, P2)
             e = cur - ref_patch                      # (N, P2)
             ok = (camera.in_bounds(cam, pts, level=lv, margin=1.0)
                   & front[:, None] & tmpl.mask[:, None])

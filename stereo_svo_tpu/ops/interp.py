@@ -67,6 +67,15 @@ def bilinear_with_grad(img: jnp.ndarray, uv: jnp.ndarray):
     return val, gu, gv
 
 
+def resolve_sampler(method: str) -> str:
+    """'auto' → 'mxu' on TPU (tent-kernel einsums on the systolic array),
+    'gather' elsewhere (XLA gathers are fine on CPU)."""
+    if method == "auto":
+        import jax
+        return "mxu" if jax.default_backend() == "tpu" else "gather"
+    return method
+
+
 def patch_coords(patch: int, dtype=jnp.float32) -> jnp.ndarray:
     """Centered patch offset grid: (patch*patch, 2) of (du, dv).
 
@@ -78,11 +87,35 @@ def patch_coords(patch: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([du.reshape(-1), dv.reshape(-1)], axis=-1)
 
 
-def sample_patch(img: jnp.ndarray, center_uv: jnp.ndarray, patch: int):
-    """Sample (…,patch*patch) intensity patches centered at (…,2) points."""
+def sample_patch(img: jnp.ndarray, center_uv: jnp.ndarray, patch: int,
+                 method: str = "auto"):
+    """Sample (…,patch*patch) intensity patches centered at (…,2) points.
+
+    method: 'gather' (4-tap XLA gather), 'mxu' (tent-kernel einsums,
+    ops/interp_mxu.py), or 'auto' (backend-dependent).
+    """
+    if resolve_sampler(method) == "mxu" and center_uv.ndim == 2:
+        from . import interp_mxu
+        return interp_mxu.sample_patch(img, center_uv, patch)
     offs = patch_coords(patch, img.dtype)              # (P2, 2)
     pts = center_uv[..., None, :] + offs               # (…, P2, 2)
     return bilinear(img, pts)
+
+
+def sample_rect(img: jnp.ndarray, center_uv: jnp.ndarray,
+                row_offs: jnp.ndarray, col_offs: jnp.ndarray,
+                method: str = "auto"):
+    """(N,2) centers + (P,)/(Q,) offsets → (N,P,Q) bilinear samples."""
+    if resolve_sampler(method) == "mxu":
+        from . import interp_mxu
+        return interp_mxu.sample_rect(img, center_uv, row_offs, col_offs)
+    su = center_uv[:, None, None, 0] + col_offs[None, None, :]
+    sv = center_uv[:, None, None, 1] + row_offs[None, :, None]
+    N = center_uv.shape[0]
+    P, Q = row_offs.shape[0], col_offs.shape[0]
+    return bilinear(img, jnp.stack(
+        [jnp.broadcast_to(su, (N, P, Q)), jnp.broadcast_to(sv, (N, P, Q))],
+        axis=-1))
 
 
 def sample_patch_with_grad(img: jnp.ndarray, center_uv: jnp.ndarray, patch: int):

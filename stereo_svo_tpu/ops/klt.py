@@ -43,10 +43,9 @@ def make_template(levels: Sequence[jnp.ndarray],
     patches, jacs, hinvs = [], [], []
     for lv in range(cfg.klt_levels):
         scale = 1.0 / (2 ** lv)
-        pts = uv[:, None, :] * scale + offs[None]           # (N, P2, 2)
-        t = interp.bilinear(levels[lv], pts)
-        gu = interp.bilinear(gxs[lv], pts)
-        gv = interp.bilinear(gys[lv], pts)
+        t = interp.sample_patch(levels[lv], uv * scale, P)
+        gu = interp.sample_patch(gxs[lv], uv * scale, P)
+        gv = interp.sample_patch(gys[lv], uv * scale, P)
         J = jnp.stack([gu, gv], axis=-1)                    # (N, P2, 2)
         H = jnp.einsum("npi,npj->nij", J, J,
                        preferred_element_type=jnp.float32)
@@ -89,8 +88,7 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
 
         def body(it, carry):
             uv, conv, res = carry
-            pts = uv[:, None, :] * scale + offs[None]
-            cur = interp.bilinear(img, pts)
+            cur = interp.sample_patch(img, uv * scale, P)
             e = cur - t                                      # (N, P2)
             g = jnp.einsum("npi,np->ni", J, e,
                            preferred_element_type=jnp.float32)

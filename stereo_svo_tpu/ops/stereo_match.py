@@ -55,11 +55,7 @@ def match(left: jnp.ndarray, right: jnp.ndarray, uv: jnp.ndarray,
     # index (D-1-d).
     col_off = jnp.arange(D + P - 1, dtype=left.dtype) - (D - 1) - half
     row_off = jnp.arange(P, dtype=left.dtype) - half
-    su = uv[:, None, None, 0] + col_off[None, None, :]
-    sv = uv[:, None, None, 1] + row_off[None, :, None]
-    strip = interp.bilinear(right, jnp.stack(
-        [jnp.broadcast_to(su, (N, P, D + P - 1)),
-         jnp.broadcast_to(sv, (N, P, D + P - 1))], axis=-1))  # (N,P,D+P-1)
+    strip = interp.sample_rect(right, uv, row_off, col_off)  # (N,P,D+P-1)
 
     # All D candidate windows via static slices.
     wins = jnp.stack([strip[:, :, D - 1 - d: D - 1 - d + P]

@@ -80,6 +80,33 @@ def test_determinism(arc_sequence):
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_tracking_failure_detection_and_recovery(arc_sequence):
+    """Blackout frames mid-sequence: the engine must flag failure (not
+    silently emit garbage poses), keep its map, and recover once real
+    frames return (SURVEY.md §5.3 failure detection / relocalization)."""
+    lefts, rights, gt = arc_sequence
+    svo = runner.StereoSvo(CFG)
+    for i in range(6):
+        svo.new_image(lefts[i], rights[i])
+    assert bool(svo.state.tracking_ok)
+    n_alive_before = int((np.asarray(svo.state.status) > 0).sum())
+
+    black = np.zeros_like(lefts[0])
+    for _ in range(2):
+        out = svo.new_image(black, black)
+    assert not bool(out.tracking_ok), "blackout must be detected"
+    # the map must not be destroyed by the failed frames
+    n_alive_after = int((np.asarray(svo.state.status) > 0).sum())
+    assert n_alive_after >= 0.9 * n_alive_before
+
+    # resume real frames near where tracking was lost → must re-lock
+    recovered = False
+    for i in range(6, 10):
+        out = svo.new_image(lefts[i], rights[i])
+        recovered = recovered or bool(out.tracking_ok)
+    assert recovered, "tracking did not recover after blackout"
+
+
 def test_checkpoint_resume(arc_sequence, tmp_path):
     """State is one pytree: save/restore mid-sequence reproduces the run
     (SURVEY.md §5.4)."""
