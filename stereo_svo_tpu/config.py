@@ -121,4 +121,16 @@ def kitti_config() -> SvoConfig:
     """KITTI odometry grayscale stereo (seq 00 geometry)."""
     return SvoConfig(camera=CameraConfig(
         fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
-        baseline=0.5371657, width=1241, height=376))
+        baseline=0.5371657, width=1241, height=376),
+        grid_rows=10, grid_cols=24, max_features=240,
+        stereo_max_disp=128)
+
+
+def stress_config() -> SvoConfig:
+    """North-star config #3: aggressive-motion stress — 5-level pyramids,
+    >2k active depth-filter seeds (grid 32x64 = 2048 cells)."""
+    return SvoConfig(camera=CameraConfig(),
+                     num_levels=5, align_levels=4, align_min_level=1,
+                     grid_rows=32, grid_cols=64, max_features=2048,
+                     max_seeds=2048, kf_min_tracked=600,
+                     klt_levels=3)

@@ -60,9 +60,15 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
         cam, cfg, st.kf_T_wk, st.kf_valid, X, X_mask,
         st.obs_uv, st.obs_mask, st.obs_disp, st.obs_dmask)
 
-    # Divergence guard: a GN step on adversarial data (gross outliers past
-    # the gates) must never corrupt the map — accept only if cost dropped.
-    ok = stats.cost_final < stats.cost_initial
+    # Divergence guards: a GN step on adversarial data (gross outliers past
+    # the gates) must never corrupt the map. Accept only if (a) cost
+    # dropped AND (b) the correction is trust-region plausible — window BA
+    # refines by millimeters; a large jump of the newest keyframe means the
+    # solver latched onto outliers, and committing it would corrupt the
+    # alignment template chain irrecoverably (observed failure mode).
+    dr, dt = se3.distance(kf_T_wk[st.last_kf], st.kf_T_wk[st.last_kf])
+    ok = ((stats.cost_final < stats.cost_initial)
+          & (dt < 0.10) & (dr < 0.05))
     kf_T_wk = jnp.where(ok, kf_T_wk, st.kf_T_wk)
     X_new = jnp.where(ok, X_new, X)
 
@@ -160,8 +166,10 @@ def make_step(cfg: SvoConfig):
             # --- 4. feature bookkeeping ---
             # On a failed frame nothing is trusted: keep features alive so
             # the relocalization attempt next frame still has its map.
-            lost = ok & active & (~in_img | (klt_mask & ~klt_ok)
-                                  | (tracked & ~inliers))
+            # A KLT non-convergence alone is NOT a kill (weak texture this
+            # frame can recover next frame); only geometric evidence kills:
+            # leaving the image, or being a reprojection outlier.
+            lost = ok & active & (~in_img | (tracked & ~inliers))
             status = jnp.where(lost, STATUS_DEAD, st.status)
             feat_uv = jnp.where((ok & tracked & inliers)[:, None],
                                 uv_ref, uv_pred)
