@@ -46,9 +46,11 @@ class StereoRectifier:
     def __init__(self, K0, D0, K1, D1, R, T, size):
         if cv2 is None:
             raise RuntimeError("cv2 unavailable; cannot rectify")
+        T = np.asarray(T, np.float64).reshape(3, 1)
+        R = np.asarray(R, np.float64)
         R0, R1, P0, P1, _, _, _ = cv2.stereoRectify(
-            K0, D0, K1, D1, size, R, T,
-            flags=cv2.CALIB_ZERO_DISPARITY, alpha=0)
+            K0, np.asarray(D0, np.float64), K1, np.asarray(D1, np.float64),
+            size, R, T, flags=cv2.CALIB_ZERO_DISPARITY, alpha=0)
         self.map0 = cv2.initUndistortRectifyMap(K0, D0, R0, P0, size,
                                                 cv2.CV_32FC1)
         self.map1 = cv2.initUndistortRectifyMap(K1, D1, R1, P1, size,

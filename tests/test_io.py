@@ -96,7 +96,8 @@ def test_flat_yaml_calib(tmp_path):
     with open(path, "w") as f:
         f.write("fx: 500.0\nfy: 501.0\ncx: 320.0\ncy: 240.0\n"
                 "baseline: 0.12\nwidth: 640\nheight: 480\n"
-                "num_levels: 3\nfast_threshold: 15.0\n")
+                "num_levels: 3\nalign_levels: 3\nklt_levels: 3\n"
+                "fast_threshold: 15.0\n")
     cfg = calib.load_flat_yaml(path)
     assert cfg.camera.fx == 500.0 and cfg.camera.baseline == 0.12
     assert cfg.num_levels == 3 and cfg.fast_threshold == 15.0
