@@ -1,0 +1,178 @@
+"""Pallas TPU kernels: fused patch warp + residual + Gauss-Newton
+accumulation — the reference's #1 hot loop as a single on-chip pass.
+
+BASELINE north star: "Pallas kernels for patch-warp residuals ... and
+Jacobian accumulation"; SURVEY.md §3.3. One kernel invocation performs,
+entirely in VMEM:
+
+    for each feature: dynamic-slice its (P+1,P+1) window, 4-tap bilinear
+    blend (all patch pixels share one fractional offset), photometric
+    residual vs the template, Huber weight, and accumulation of
+    H += JᵀWJ (6x6), b += JᵀWe, cost, inlier count.
+
+The level image is loaded into VMEM once per pass (vs. the XLA path's
+per-op HBM traffic); indices are prefetched scalars in SMEM so the
+per-feature loop is pure dynamic-slice + VPU math with no gathers.
+
+Also here: ``sample_patches`` — the same slicing loop exposed as a plain
+patch sampler (used by the KLT path), and parity-tested against
+ops/interp.bilinear in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bilinear_window(win, du, dv, P):
+    """(P+1,P+1) window + shared fracs → (P,P) bilinear samples."""
+    w00 = (1.0 - du) * (1.0 - dv)
+    w01 = du * (1.0 - dv)
+    w10 = (1.0 - du) * dv
+    w11 = du * dv
+    return (win[:P, :P] * w00 + win[:P, 1:P + 1] * w01
+            + win[1:P + 1, :P] * w10 + win[1:P + 1, 1:P + 1] * w11)
+
+
+def _prep_indices(img_shape, uv, P):
+    """Split patch-origin coords into SMEM-friendly int bases + fracs."""
+    H, W = img_shape
+    half = (P - 1) / 2.0
+    u = jnp.clip(uv[:, 0], half, W - 2.0 - half)
+    v = jnp.clip(uv[:, 1], half, H - 2.0 - half)
+    u0 = jnp.floor(u - half)
+    v0 = jnp.floor(v - half)
+    iu = jnp.clip(u0.astype(jnp.int32), 0, W - (P + 1))
+    iv = jnp.clip(v0.astype(jnp.int32), 0, H - (P + 1))
+    du = u - half - iu.astype(u.dtype)
+    dv = v - half - iv.astype(v.dtype)
+    return iu, iv, du, dv
+
+
+def _extract_window(img_ref, iv, iu, P):
+    """(P+1,P+1) window at dynamic (iv, iu) from a VMEM image.
+
+    Mosaic constraints: dynamic sublane starts must be provably 8-aligned
+    and tiny unaligned lane slices are unsupported. So: slice a 16-row
+    block at the 8-aligned base below iv (`pl.multiple_of` carries the
+    proof), then extract the P+1 rows and P+1 columns with one-hot
+    micro-matmuls (~80 kFLOP per feature — noise next to the VMEM reads)."""
+    H, W = img_ref.shape
+    base = jnp.minimum((iv // 8) * 8, H - 16)
+    r = iv - base                                            # 0..15
+    blk = img_ref[pl.ds(pl.multiple_of(base, 8), 16), :]     # (16, W)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (P + 1, 16), 1)
+    rp = jax.lax.broadcasted_iota(jnp.int32, (P + 1, 16), 0)
+    rsel = (rj == r + rp).astype(blk.dtype)                  # (P+1, 16)
+    strip = jax.lax.dot_general(rsel, blk, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, P + 1), 0)
+    off = jax.lax.broadcasted_iota(jnp.int32, (W, P + 1), 1)
+    sel = (col == iu + off).astype(strip.dtype)              # (W, P+1)
+    return jax.lax.dot_general(strip, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _sample_kernel(iu_ref, iv_ref, fr_ref, img_ref, out_ref, *, P):
+    N = out_ref.shape[0]
+
+    def body(i, _):
+        win = _extract_window(img_ref, iv_ref[i], iu_ref[i], P)
+        patch = _bilinear_window(win, fr_ref[i, 0], fr_ref[i, 1], P)
+        out_ref[i, :] = patch.reshape(P * P)
+        return 0
+
+    jax.lax.fori_loop(0, N, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("P", "interpret"))
+def sample_patches(img: jnp.ndarray, uv: jnp.ndarray, P: int,
+                   interpret: bool = False) -> jnp.ndarray:
+    """(N,2) centers → (N,P²) bilinear patches, one fused Pallas pass.
+
+    Border behavior: coordinates are clamped so the whole patch stays
+    inside the image (callers mask border features anyway)."""
+    N = uv.shape[0]
+    iu, iv, du, dv = _prep_indices(img.shape, uv, P)
+    fr = jnp.stack([du, dv], axis=-1)
+    return pl.pallas_call(
+        functools.partial(_sample_kernel, P=P),
+        out_shape=jax.ShapeDtypeStruct((N, P * P), img.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(iu, iv, fr, img)
+
+
+def _gn_kernel(iu_ref, iv_ref, fr_ref, img_ref, tmpl_ref, jac_ref, w_ref,
+               out_ref, acc, *, P, huber_k):
+    """Accumulate H (6,6), b (6), cost, n_eff over all features."""
+    N = tmpl_ref.shape[0]
+    acc[:, :] = jnp.zeros_like(acc)
+
+    def body(i, _):
+        win = _extract_window(img_ref, iv_ref[i], iu_ref[i], P)
+        patch = _bilinear_window(win, fr_ref[i, 0], fr_ref[i, 1], P)
+        e = patch.reshape(P * P) - tmpl_ref[i, :]          # (P2,)
+        a = jnp.abs(e)
+        w = jnp.where(a <= huber_k, 1.0, huber_k / jnp.maximum(a, 1e-6))
+        w = w * w_ref[i]
+        J = jac_ref[i, :, :]                                # (P2,6)
+        Jw = J * w[:, None]
+        Hi = jax.lax.dot_general(
+            Jw, J, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (6,6)
+        bi = jnp.sum(Jw * e[:, None], axis=0)               # (6,)
+        acc[0:6, 0:6] += Hi
+        acc[6, 0:6] += bi
+        acc[7, 0] += jnp.sum(w * e * e)
+        acc[7, 1] += w_ref[i]
+        return 0
+
+    jax.lax.fori_loop(0, N, body, 0)
+    out_ref[:, :] = acc[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("P", "huber_k", "interpret"))
+def gn_accumulate(img: jnp.ndarray, uv: jnp.ndarray, tmpl: jnp.ndarray,
+                  jac: jnp.ndarray, weight: jnp.ndarray, P: int,
+                  huber_k: float, interpret: bool = False):
+    """Fused GN pass: returns (H (6,6), b (6,), cost, n_eff).
+
+    img: level image; uv: (N,2) projected centers; tmpl: (N,P²) template
+    intensities; jac: (N,P²,6) IC Jacobians; weight: (N,) 0/1 feature mask.
+    """
+    N = uv.shape[0]
+    iu, iv, du, dv = _prep_indices(img.shape, uv, P)
+    fr = jnp.stack([du, dv], axis=-1)
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, P=P, huber_k=huber_k),
+        out_shape=jax.ShapeDtypeStruct((8, 8), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, 8), jnp.float32)],
+        interpret=interpret,
+    )(iu, iv, fr, img, tmpl, jac, weight)
+    H = out[0:6, 0:6]
+    b = out[6, 0:6]
+    cost = out[7, 0]
+    n_eff = out[7, 1]
+    return H, b, cost, n_eff
