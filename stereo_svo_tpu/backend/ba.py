@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..config import CameraConfig, SvoConfig
 from ..geometry import camera as cam_mod
 from ..geometry import se3
+from ..ops import solve as solve_ops
 
 
 class BAStats(NamedTuple):
@@ -110,7 +111,7 @@ def _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam, fixed_mask, reduce_fn=None):
     Hll_d = Hll + (lam + 1e-6) * I3[None]
     deg = jnp.einsum("nii->n", Hll)  # trace as activity proxy
     Hll_d = jnp.where((deg > 1e-8)[:, None, None], Hll_d, I3[None])
-    Hll_inv = jnp.linalg.inv(Hll_d)                        # (N,3,3)
+    Hll_inv = solve_ops.inv3x3(Hll_d)                      # (N,3,3)
 
     # S_{k,k'} = δ·Hpp_k − Σ_j Hpl_kj Hll_j^{-1} Hpl_k'j^T
     W = jnp.einsum("knij,njl->knil", Hpl, Hll_inv)         # (K,N,6,3)
@@ -156,7 +157,9 @@ def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
         cam, cfg, T_kw, X, obs_uv, obs_ur, w_rows)
     S, rhs, Hll_inv, W = _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam,
                                        fixed_mask, reduce_fn)
-    dp = jnp.linalg.solve(S, rhs).reshape(K, 6)            # (K,6)
+    # Jacobi-preconditioned CG on the reduced camera system (SPD): fixed
+    # iteration count keeps the graph static; matvecs are MXU matmuls.
+    dp = solve_ops.cg_solve(S, rhs, iters=40).reshape(K, 6)  # (K,6)
     # Back-substitute landmarks: δl = -Hll⁻¹ (gl + Hlpᵀ·δp)
     Hlp_dp = jnp.einsum("knij,ki->nj", Hpl, dp)            # (N,3)
     dl = -jnp.einsum("nij,nj->ni", Hll_inv, gl + Hlp_dp)

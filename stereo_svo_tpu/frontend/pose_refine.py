@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..config import CameraConfig, SvoConfig
 from ..geometry import camera, se3
+from ..ops import solve
 
 
 def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
@@ -43,7 +44,7 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
                        preferred_element_type=jnp.float32)
         H = H + 1e-8 * jnp.eye(6, dtype=H.dtype) \
             + 1e-4 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
-        delta = -jnp.linalg.solve(H, g)
+        delta = -solve.chol_solve_small(H, g)
         return se3.compose(se3.exp(delta), T)
 
     T = jax.lax.fori_loop(0, cfg.refine_max_iters, body, T_cw)

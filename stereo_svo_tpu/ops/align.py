@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..config import CameraConfig, SvoConfig
 from ..geometry import camera, se3
-from . import interp
+from . import interp, solve
 
 
 class Template(NamedTuple):
@@ -133,7 +133,9 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
                            preferred_element_type=jnp.float32)
             H = H + lam * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype) \
                 + 1e-8 * jnp.eye(6, dtype=H.dtype)
-            delta = jnp.linalg.solve(H, b)
+            # LAPACK-free unrolled Cholesky (ops/solve.py): fuses into the
+            # GN graph instead of a sequential LU kernel
+            delta = solve.chol_solve_small(H, b)
             T_new = se3.compose(T, se3.inverse(se3.exp(delta)))
             cost = jnp.sum(w * e * e) / jnp.maximum(jnp.sum(ok), 1.0)
             infrac = (jnp.sum((jnp.abs(e) < cfg.align_huber) & ok)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CameraConfig, SvoConfig
-from . import interp
+from . import interp, solve
 
 
 class KltTemplate(NamedTuple):
@@ -52,7 +52,7 @@ def make_template(levels: Sequence[jnp.ndarray],
         # Regularize: textureless templates get ~identity (their updates
         # will be tiny since Jᵀe ≈ 0) instead of a singular solve.
         H = H + 1e-3 * jnp.eye(2, dtype=H.dtype)
-        hinvs.append(jnp.linalg.inv(H))
+        hinvs.append(solve.inv2x2(H))
         patches.append(t)
         jacs.append(J)
     return KltTemplate(patches=jnp.stack(patches), jac=jnp.stack(jacs),

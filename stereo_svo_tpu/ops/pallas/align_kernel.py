@@ -5,18 +5,22 @@ BASELINE north star: "Pallas kernels for patch-warp residuals ... and
 Jacobian accumulation"; SURVEY.md §3.3. One kernel invocation performs,
 entirely in VMEM:
 
-    for each feature: dynamic-slice its (P+1,P+1) window, 4-tap bilinear
-    blend (all patch pixels share one fractional offset), photometric
-    residual vs the template, Huber weight, and accumulation of
-    H += JᵀWJ (6x6), b += JᵀWe, cost, inlier count.
+    for each feature: extract its (P+1,P+1) window, 4-tap bilinear blend
+    (all patch pixels share one fractional offset), photometric residual
+    vs the template, Huber weight, and accumulation of H += JᵀWJ (6x6),
+    b += JᵀWe, cost, inlier count.
 
-The level image is loaded into VMEM once per pass (vs. the XLA path's
-per-op HBM traffic); indices are prefetched scalars in SMEM so the
-per-feature loop is pure dynamic-slice + VPU math with no gathers.
+Mosaic (TPU kernel compiler) constraints shaped the implementation:
+  * dynamic sublane starts must be provably 8-aligned → windows are read
+    from an 8-aligned 16-row block (`pl.multiple_of` carries the proof)
+    and rows/columns extracted by one-hot micro-matmuls;
+  * 2D→1D reshapes are unsupported → all per-feature data stays (P,P);
+    the 6x6 Hessian is built from 21 symmetric masked reductions with the
+    Jacobian laid out (6, N, P, P).
 
-Also here: ``sample_patches`` — the same slicing loop exposed as a plain
-patch sampler (used by the KLT path), and parity-tested against
-ops/interp.bilinear in tests/test_pallas.py.
+The XLA alternative for the same math is ops/interp_mxu.py (tent-kernel
+einsums); both are parity-tested against the gather oracle and raced in
+bench_amortized.py — the faster one is the production path.
 """
 
 from __future__ import annotations
@@ -27,6 +31,26 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _extract_window(img_ref, iv, iu, P):
+    """(P+1,P+1) window at dynamic (iv, iu) from a VMEM image."""
+    H, W = img_ref.shape
+    base = jnp.minimum((iv // 8) * 8, H - 16)
+    r = iv - base                                            # 0..15
+    blk = img_ref[pl.ds(pl.multiple_of(base, 8), 16), :]     # (16, W)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (P + 1, 16), 1)
+    rp = jax.lax.broadcasted_iota(jnp.int32, (P + 1, 16), 0)
+    rsel = (rj == r + rp).astype(blk.dtype)                  # (P+1, 16)
+    strip = jax.lax.dot_general(rsel, blk, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, P + 1), 0)
+    off = jax.lax.broadcasted_iota(jnp.int32, (W, P + 1), 1)
+    sel = (col == iu + off).astype(strip.dtype)              # (W, P+1)
+    return jax.lax.dot_general(strip, sel, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
 
 
 def _bilinear_window(win, du, dv, P):
@@ -54,37 +78,13 @@ def _prep_indices(img_shape, uv, P):
     return iu, iv, du, dv
 
 
-def _extract_window(img_ref, iv, iu, P):
-    """(P+1,P+1) window at dynamic (iv, iu) from a VMEM image.
-
-    Mosaic constraints: dynamic sublane starts must be provably 8-aligned
-    and tiny unaligned lane slices are unsupported. So: slice a 16-row
-    block at the 8-aligned base below iv (`pl.multiple_of` carries the
-    proof), then extract the P+1 rows and P+1 columns with one-hot
-    micro-matmuls (~80 kFLOP per feature — noise next to the VMEM reads)."""
-    H, W = img_ref.shape
-    base = jnp.minimum((iv // 8) * 8, H - 16)
-    r = iv - base                                            # 0..15
-    blk = img_ref[pl.ds(pl.multiple_of(base, 8), 16), :]     # (16, W)
-    rj = jax.lax.broadcasted_iota(jnp.int32, (P + 1, 16), 1)
-    rp = jax.lax.broadcasted_iota(jnp.int32, (P + 1, 16), 0)
-    rsel = (rj == r + rp).astype(blk.dtype)                  # (P+1, 16)
-    strip = jax.lax.dot_general(rsel, blk, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (W, P + 1), 0)
-    off = jax.lax.broadcasted_iota(jnp.int32, (W, P + 1), 1)
-    sel = (col == iu + off).astype(strip.dtype)              # (W, P+1)
-    return jax.lax.dot_general(strip, sel, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
 def _sample_kernel(iu_ref, iv_ref, fr_ref, img_ref, out_ref, *, P):
     N = out_ref.shape[0]
 
     def body(i, _):
         win = _extract_window(img_ref, iv_ref[i], iu_ref[i], P)
-        patch = _bilinear_window(win, fr_ref[i, 0], fr_ref[i, 1], P)
-        out_ref[i, :] = patch.reshape(P * P)
+        out_ref[i, :, :] = _bilinear_window(win, fr_ref[i, 0], fr_ref[i, 1],
+                                            P)
         return 0
 
     jax.lax.fori_loop(0, N, body, 0)
@@ -100,47 +100,60 @@ def sample_patches(img: jnp.ndarray, uv: jnp.ndarray, P: int,
     N = uv.shape[0]
     iu, iv, du, dv = _prep_indices(img.shape, uv, P)
     fr = jnp.stack([du, dv], axis=-1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_sample_kernel, P=P),
-        out_shape=jax.ShapeDtypeStruct((N, P * P), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, P, P), img.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(iu, iv, fr, img)
+    return out.reshape(N, P * P)
+
+
+def _acc_add(acc, row, col, val):
+    """acc (8,128) register array += val at (row, col) — Mosaic cannot
+    store scalars to VMEM, so updates are masked vector selects on the
+    loop-carried accumulator."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    return acc + jnp.where((rows == row) & (cols == col), val, 0.0)
 
 
 def _gn_kernel(iu_ref, iv_ref, fr_ref, img_ref, tmpl_ref, jac_ref, w_ref,
-               out_ref, acc, *, P, huber_k):
-    """Accumulate H (6,6), b (6), cost, n_eff over all features."""
-    N = tmpl_ref.shape[0]
-    acc[:, :] = jnp.zeros_like(acc)
+               out_ref, *, P, huber_k):
+    """Accumulate H (6,6), b (6), cost, n_eff over all features.
 
-    def body(i, _):
+    tmpl_ref: (N,P,P); jac_ref: (6,N,P,P); out: (8,128)
+    (rows 0-5 → H, row 6 → b, row 7 → [cost, n_eff])."""
+    N = tmpl_ref.shape[0]
+
+    def body(i, acc):
         win = _extract_window(img_ref, iv_ref[i], iu_ref[i], P)
         patch = _bilinear_window(win, fr_ref[i, 0], fr_ref[i, 1], P)
-        e = patch.reshape(P * P) - tmpl_ref[i, :]          # (P2,)
+        e = patch - tmpl_ref[i, :, :]                       # (P,P)
         a = jnp.abs(e)
         w = jnp.where(a <= huber_k, 1.0, huber_k / jnp.maximum(a, 1e-6))
         w = w * w_ref[i]
-        J = jac_ref[i, :, :]                                # (P2,6)
-        Jw = J * w[:, None]
-        Hi = jax.lax.dot_general(
-            Jw, J, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (6,6)
-        bi = jnp.sum(Jw * e[:, None], axis=0)               # (6,)
-        acc[0:6, 0:6] += Hi
-        acc[6, 0:6] += bi
-        acc[7, 0] += jnp.sum(w * e * e)
-        acc[7, 1] += w_ref[i]
-        return 0
+        Js = [jac_ref[k, i, :, :] for k in range(6)]        # 6 x (P,P)
+        we = w * e
+        for k in range(6):
+            acc = _acc_add(acc, 6, k, jnp.sum(Js[k] * we))
+            for l in range(k, 6):
+                h = jnp.sum(Js[k] * w * Js[l])
+                acc = _acc_add(acc, k, l, h)
+                if l != k:
+                    acc = _acc_add(acc, l, k, h)
+        acc = _acc_add(acc, 7, 0, jnp.sum(w * e * e))
+        acc = _acc_add(acc, 7, 1, w_ref[i])
+        return acc
 
-    jax.lax.fori_loop(0, N, body, 0)
-    out_ref[:, :] = acc[:, :]
+    acc0 = jnp.zeros(out_ref.shape, jnp.float32)
+    out_ref[:, :] = jax.lax.fori_loop(0, N, body, acc0)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "huber_k", "interpret"))
@@ -155,22 +168,23 @@ def gn_accumulate(img: jnp.ndarray, uv: jnp.ndarray, tmpl: jnp.ndarray,
     N = uv.shape[0]
     iu, iv, du, dv = _prep_indices(img.shape, uv, P)
     fr = jnp.stack([du, dv], axis=-1)
+    tmpl2 = tmpl.reshape(N, P, P)
+    jac2 = jnp.transpose(jac, (2, 0, 1)).reshape(6, N, P, P)
     out = pl.pallas_call(
         functools.partial(_gn_kernel, P=P, huber_k=huber_k),
-        out_shape=jax.ShapeDtypeStruct((8, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, 8), jnp.float32)],
         interpret=interpret,
-    )(iu, iv, fr, img, tmpl, jac, weight)
+    )(iu, iv, fr, img, tmpl2, jac2, weight)
     H = out[0:6, 0:6]
     b = out[6, 0:6]
     cost = out[7, 0]

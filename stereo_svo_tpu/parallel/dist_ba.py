@@ -37,11 +37,15 @@ def bundle_adjust_sharded(mesh, cam: CameraConfig, cfg: SvoConfig,
                           obs_uv: jnp.ndarray, obs_mask: jnp.ndarray,
                           obs_disp: jnp.ndarray | None = None,
                           obs_dmask: jnp.ndarray | None = None,
-                          axis: str = "kf"
+                          axis: str = "kf",
+                          fixed_mask: jnp.ndarray | None = None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Window stereo BA with landmarks sharded over ``axis``.
 
     Shapes as backend/ba.bundle_adjust; N must divide the mesh axis size.
+    ``fixed_mask`` (K,) optionally overrides the gauge (callers with
+    multiple disconnected pose blocks — e.g. multi-sequence maps — must
+    pin one keyframe PER block or the reduced system is singular).
     Returns (kf_T_wk', X') with X' sharded the same way as X.
     """
     K = kf_T_wk.shape[0]
@@ -49,9 +53,10 @@ def bundle_adjust_sharded(mesh, cam: CameraConfig, cfg: SvoConfig,
         obs_disp = jnp.zeros(obs_mask.shape, jnp.float32)
         obs_dmask = jnp.zeros(obs_mask.shape, bool)
 
-    first_valid = jnp.argmax(kf_valid)
-    fixed_mask = ((jnp.arange(K) == first_valid)
-                  | ~kf_valid).astype(jnp.float32)
+    if fixed_mask is None:
+        first_valid = jnp.argmax(kf_valid)
+        fixed_mask = ((jnp.arange(K) == first_valid)
+                      | ~kf_valid).astype(jnp.float32)
 
     @jax.jit
     @functools.partial(

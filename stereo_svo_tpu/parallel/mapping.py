@@ -108,9 +108,18 @@ def optimize_global_map(mesh, cam: CameraConfig, cfg: SvoConfig,
         X = X.at[rn].set(se3.transform(delta, X[rn]))
 
     # --- 2. distributed stereo BA over the refined initialization ---
+    # Gauge: pin the first valid keyframe of EACH sequence — the sequences
+    # share no observations, so each pose block needs its own anchor or
+    # the reduced camera system is singular along that block's gauge.
+    BK = gmap.kf_T_wk.shape[0]
+    fixed = ~gmap.kf_valid
+    for b in range(B):
+        k0 = b * K + int(jnp.argmax(gmap.kf_valid[b * K:(b + 1) * K]))
+        fixed = fixed.at[k0].set(True)
     T_ba, X_ba = dist_ba.bundle_adjust_sharded(
         mesh, cam, cfg, T_pg, gmap.kf_valid, X, gmap.X_mask,
-        gmap.obs_uv, gmap.obs_mask, gmap.obs_disp, gmap.obs_dmask)
+        gmap.obs_uv, gmap.obs_mask, gmap.obs_disp, gmap.obs_dmask,
+        fixed_mask=fixed.astype(jnp.float32))
     return gmap._replace(kf_T_wk=T_ba, X=X_ba), pg_cost
 
 
