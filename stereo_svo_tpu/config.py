@@ -67,14 +67,14 @@ class SvoConfig:
 
     # --- sparse direct alignment (ref: PoseEstimator) ---
     align_patch: int = 4           # photometric patch (ref SVO uses 4x4)
-    align_max_iters: int = 12      # GN iterations per level
+    align_max_iters: int = 10      # GN iterations per level
     align_levels: int = 4          # coarse-to-fine levels used for alignment
     align_min_level: int = 0       # finest level included in alignment
     align_huber: float = 8.0       # Huber k on intensity residuals (u8 scale)
 
     # --- KLT feature alignment (ref: OpticalFlow) ---
     klt_patch: int = 8             # inverse-compositional LK window
-    klt_max_iters: int = 8
+    klt_max_iters: int = 6
     klt_levels: int = 3
     klt_conv_eps: float = 0.03     # px; squared-step convergence threshold
 

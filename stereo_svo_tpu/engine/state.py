@@ -41,6 +41,8 @@ class SlamState(NamedTuple):
     status: jnp.ndarray      # int32
     feat_uv: jnp.ndarray     # (N,2) current-frame level-0 position
     feat_level: jnp.ndarray  # (N,) detection pyramid level
+    feat_corner: jnp.ndarray  # (N,) bool — corner (True) vs edgelet
+    feat_dir: jnp.ndarray    # (N,2) unit gradient dir (edgelet normal)
     kf_id: jnp.ndarray       # (N,) owner keyframe slot
     kf_uv: jnp.ndarray       # (N,2) anchor pixel in owner keyframe
     mu: jnp.ndarray          # (N,) inverse-depth posterior mean (owner KF frame)
@@ -98,6 +100,8 @@ def init_state(cfg: SvoConfig) -> SlamState:
         status=jnp.zeros(N, jnp.int32),
         feat_uv=jnp.zeros((N, 2), f32),
         feat_level=jnp.zeros(N, jnp.int32),
+        feat_corner=jnp.ones(N, bool),
+        feat_dir=jnp.zeros((N, 2), f32),
         kf_id=jnp.zeros(N, jnp.int32),
         kf_uv=jnp.zeros((N, 2), f32),
         mu=jnp.ones(N, f32) * 0.25,

@@ -152,7 +152,8 @@ def make_step(cfg: SvoConfig):
             klt_mask = active & in_img
             uv_ref, klt_ok, _ = klt_ops.track(
                 pyr_l, st.klt_tmpl._replace(mask=st.klt_tmpl.mask & klt_mask),
-                cfg, uv_pred)
+                cfg, uv_pred, edge_dir=st.feat_dir,
+                is_edgelet=~st.feat_corner)
             tracked = klt_mask & klt_ok
 
             # --- 3. motion-only pose refinement on reprojection ---

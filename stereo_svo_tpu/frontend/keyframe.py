@@ -82,6 +82,8 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     status = put(status, jnp.full(N, STATUS_SEED, jnp.int32))
     feat_uv = put(state.feat_uv, det.uv)
     feat_level = put(state.feat_level, det.level)
+    feat_corner = put(state.feat_corner, det.is_corner)
+    feat_dir = put(state.feat_dir, det.grad_dir)
     kf_id = put(state.kf_id, jnp.full(N, slot, jnp.int32))
     kf_uv = put(state.kf_uv, det.uv)
     mu = put(state.mu, mu0)
@@ -134,7 +136,8 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
         disp_ok & consistent & (status > 0))
 
     return state._replace(
-        status=status, feat_uv=feat_uv, feat_level=feat_level, kf_id=kf_id,
+        status=status, feat_uv=feat_uv, feat_level=feat_level,
+        feat_corner=feat_corner, feat_dir=feat_dir, kf_id=kf_id,
         kf_uv=kf_uv, mu=mu, sigma2=sigma2, a_beta=a_beta, b_beta=b_beta,
         z_range=z_range, n_upd=n_upd, klt_tmpl=klt_tmpl,
         kf_T_wk=kf_T_wk, kf_valid=kf_valid,

@@ -60,12 +60,19 @@ def make_template(levels: Sequence[jnp.ndarray],
 
 
 def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
-          cfg: SvoConfig, uv_init: jnp.ndarray
+          cfg: SvoConfig, uv_init: jnp.ndarray,
+          edge_dir: jnp.ndarray | None = None,
+          is_edgelet: jnp.ndarray | None = None,
           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine feature positions in the current frame.
 
     Args:
       uv_init: (N, 2) predicted level-0 positions (from the aligned pose).
+      edge_dir: optional (N,2) unit gradient directions; with
+        ``is_edgelet`` (N,) bool, edgelet features update only along their
+        gradient normal (1-DoF — the reference's edgelet treatment: the
+        position along the edge is unobservable, src/lib/corner_detector.*
+        [UNVERIFIED]).
     Returns:
       uv: (N, 2) refined positions.
       converged: (N,) bool — final update below threshold and in-bounds.
@@ -93,6 +100,12 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
             g = jnp.einsum("npi,np->ni", J, e,
                            preferred_element_type=jnp.float32)
             delta = jnp.einsum("nij,nj->ni", Hinv, g)        # level-lv px
+            if edge_dir is not None and is_edgelet is not None:
+                # 1-DoF constraint: project the update onto the gradient
+                # normal for edgelet features
+                along = jnp.sum(delta * edge_dir, axis=-1, keepdims=True)
+                delta = jnp.where(is_edgelet[:, None],
+                                  along * edge_dir, delta)
             step = delta * (2 ** lv)                         # level-0 px
             in_b = ((uv[:, 0] * scale > P) & (uv[:, 0] * scale < W - P)
                     & (uv[:, 1] * scale > P) & (uv[:, 1] * scale < H - P))
