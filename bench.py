@@ -77,7 +77,7 @@ def _run(n_frames: int, repeats: int = 2):
     err = ate.ate_rmse(ate.positions(np.asarray(outs.T_wc)),
                        ate.positions(np.stack(gts)))
     n_kf = int(np.asarray(outs.kf_inserted).sum())
-    ok = bool(np.asarray(outs.tracking_ok).all())
+    ok = float(np.asarray(outs.tracking_ok).mean())
     return fps, err, n_kf, ok
 
 
@@ -143,7 +143,7 @@ def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2):
         _, outs = run(lefts, rights)
         jax.block_until_ready(outs.T_wc)
         best = min(best, time.perf_counter() - t0)
-    ok = bool(np.asarray(outs.tracking_ok).all())
+    ok = float(np.asarray(outs.tracking_ok).mean())
     return batch * n_frames / best, ok
 
 
@@ -167,7 +167,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "batched8_frames_per_s": round(fps_b, 2) if fps_b else None,
         "ate_rmse_m": round(err, 4),
-        "tracking_ok": ok and ok_b,
+        "tracking_ok_frac": round(min(ok, ok_b if fps_b else 1.0), 4),
         "keyframes": n_kf,
         "n_frames": N_FRAMES,
         "baseline_note": "vs_baseline = ratio to this same pipeline on host "

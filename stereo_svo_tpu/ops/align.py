@@ -90,6 +90,10 @@ def make_template(levels: Sequence[jnp.ndarray],
                     mask=mask & (z > 1e-2))
 
 
+def _cdtype(cfg: SvoConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+
+
 def _huber_weight(e: jnp.ndarray, k: float) -> jnp.ndarray:
     a = jnp.abs(e)
     return jnp.where(a <= k, 1.0, k / jnp.maximum(a, 1e-6))
@@ -122,7 +126,8 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
             p_cur = se3.transform(T, tmpl.p_ref)     # (N, 3)
             uv_c, front = camera.project(cam, p_cur, level=lv)
             pts = uv_c[:, None, :] + offs[None]      # (N, P2, 2)
-            cur = interp.sample_patch(img, uv_c, P)  # (N, P2)
+            cur = interp.sample_patch(
+                img, uv_c, P, compute_dtype=_cdtype(cfg))  # (N, P2)
             e = cur - ref_patch                      # (N, P2)
             ok = (camera.in_bounds(cam, pts, level=lv, margin=1.0)
                   & front[:, None] & tmpl.mask[:, None])

@@ -88,15 +88,17 @@ def patch_coords(patch: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def sample_patch(img: jnp.ndarray, center_uv: jnp.ndarray, patch: int,
-                 method: str = "auto"):
+                 method: str = "auto", compute_dtype=None):
     """Sample (…,patch*patch) intensity patches centered at (…,2) points.
 
     method: 'gather' (4-tap XLA gather), 'mxu' (tent-kernel einsums,
     ops/interp_mxu.py), or 'auto' (backend-dependent).
+    compute_dtype: optional matmul dtype for the MXU path (bf16 = native
+    MXU rate with f32 accumulation; ignored by the gather path).
     """
     if resolve_sampler(method) == "mxu" and center_uv.ndim == 2:
         from . import interp_mxu
-        return interp_mxu.sample_patch(img, center_uv, patch)
+        return interp_mxu.sample_patch(img, center_uv, patch, compute_dtype)
     offs = patch_coords(patch, img.dtype)              # (P2, 2)
     pts = center_uv[..., None, :] + offs               # (…, P2, 2)
     return bilinear(img, pts)
@@ -104,11 +106,12 @@ def sample_patch(img: jnp.ndarray, center_uv: jnp.ndarray, patch: int,
 
 def sample_rect(img: jnp.ndarray, center_uv: jnp.ndarray,
                 row_offs: jnp.ndarray, col_offs: jnp.ndarray,
-                method: str = "auto"):
+                method: str = "auto", compute_dtype=None):
     """(N,2) centers + (P,)/(Q,) offsets → (N,P,Q) bilinear samples."""
     if resolve_sampler(method) == "mxu":
         from . import interp_mxu
-        return interp_mxu.sample_rect(img, center_uv, row_offs, col_offs)
+        return interp_mxu.sample_rect(img, center_uv, row_offs, col_offs,
+                                      compute_dtype)
     su = center_uv[:, None, None, 0] + col_offs[None, None, :]
     sv = center_uv[:, None, None, 1] + row_offs[None, :, None]
     N = center_uv.shape[0]

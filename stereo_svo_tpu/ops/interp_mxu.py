@@ -42,9 +42,16 @@ def _clamp_uv(uv: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 
 
 def sample_rect(img: jnp.ndarray, center_uv: jnp.ndarray,
-                row_offs: jnp.ndarray, col_offs: jnp.ndarray) -> jnp.ndarray:
+                row_offs: jnp.ndarray, col_offs: jnp.ndarray,
+                compute_dtype=None) -> jnp.ndarray:
     """(N,2) centers + (P,) row / (Q,) col offsets → (N,P,Q) bilinear
-    samples at (v+row_off, u+col_off)."""
+    samples at (v+row_off, u+col_off).
+
+    compute_dtype=bfloat16 runs the selector matmuls in bf16 (the MXU's
+    native rate — f32 matmuls are emulated as 3 bf16 passes) with f32
+    accumulation; sample error ≤ ~0.5 intensity units on a u8-scale
+    image, well under the photometric noise the robust losses absorb.
+    """
     H, W = img.shape
     u, v = _clamp_uv(center_uv, H, W)
     vp = jnp.clip(v[:, None] + row_offs[None], 0.0, H - 1.000001)  # (N,P)
@@ -54,6 +61,10 @@ def sample_rect(img: jnp.ndarray, center_uv: jnp.ndarray,
     cols = jnp.arange(W, dtype=img.dtype)
     Rv = _hat(rows[None, None, :], vp[..., None])                # (N,P,H)
     Cu = _hat(cols[None, None, :], up[..., None])                # (N,Q,W)
+    if compute_dtype is not None and compute_dtype != img.dtype:
+        img = img.astype(compute_dtype)
+        Rv = Rv.astype(compute_dtype)
+        Cu = Cu.astype(compute_dtype)
 
     strips = jnp.einsum("nph,hw->npw", Rv, img,
                         preferred_element_type=jnp.float32)      # (N,P,W)
@@ -62,15 +73,15 @@ def sample_rect(img: jnp.ndarray, center_uv: jnp.ndarray,
 
 
 def sample_patch(img: jnp.ndarray, center_uv: jnp.ndarray, patch: int,
-                 ) -> jnp.ndarray:
+                 compute_dtype=None) -> jnp.ndarray:
     """(N,2) centers → (N, patch²) bilinear patches. Matches
-    interp.sample_patch to float32 rounding.
+    interp.sample_patch to float32 rounding (or bf16 when requested).
 
     (p = row = dv offset, q = col = du offset) flattened row-major — the
     same (dv outer, du inner) order as interp.patch_coords."""
     P = patch
     offs = jnp.arange(P, dtype=img.dtype) - (P - 1) / 2.0
-    out = sample_rect(img, center_uv, offs, offs)
+    out = sample_rect(img, center_uv, offs, offs, compute_dtype)
     return out.reshape(center_uv.shape[0], P * P)
 
 

@@ -95,7 +95,10 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
 
         def body(it, carry):
             uv, conv, res = carry
-            cur = interp.sample_patch(img, uv * scale, P)
+            cur = interp.sample_patch(
+                img, uv * scale, P,
+                compute_dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
+                else None)
             e = cur - t                                      # (N, P2)
             g = jnp.einsum("npi,np->ni", J, e,
                            preferred_element_type=jnp.float32)
