@@ -160,7 +160,7 @@ def make_step(cfg: SvoConfig):
             T_cw, inliers, refine_stats = pose_refine.refine(
                 cam, cfg, T_cw_pred, X_w, uv_ref, tracked)
             n_inl = refine_stats["refine_inliers"]
-            ok = n_inl >= 15
+            ok = n_inl >= 10
             T_cw = jax.tree.map(
                 lambda a, b: jnp.where(ok, a, b), T_cw, T_cw_pred)
 

@@ -42,7 +42,15 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     K = cfg.max_keyframes
     n_cells = cfg.grid_rows * cfg.grid_cols
 
-    slot = jnp.mod(state.kf_next, K)
+    # --- slot choice: empty slots first, else evict the valid keyframe
+    # owning the fewest active features (never the newest). A plain FIFO
+    # ring evicts feature-rich keyframes during high-KF-rate stretches and
+    # cascades feature loss (each eviction kills its owned features).
+    owned = jnp.zeros(K, jnp.float32).at[
+        jnp.where(state.status > 0, state.kf_id, K)].add(1.0, mode="drop")
+    cost = jnp.where(state.kf_valid, owned, -1.0)        # empty slots win
+    cost = jnp.where(jnp.arange(K) == state.last_kf, 1e9, cost)
+    slot = jnp.argmin(cost).astype(jnp.int32)
 
     # Features owned by the evicted keyframe slot lose their anchor → dead.
     status = jnp.where((state.kf_id == slot) & (state.status > 0),
