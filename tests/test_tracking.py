@@ -165,3 +165,37 @@ def test_observe_and_update_from_geometry():
     assert np.median(rel) < 0.01, f"median depth err {np.median(rel):.3f}"
     conv = depth_filter.converged(CFG, mu, sigma2)
     assert float(jnp.mean(conv)) > 0.8
+
+
+def test_klt_edgelet_constraint():
+    """Edgelet features must only move along their gradient normal: on a
+    vertical-edge image the u-update is free but v must stay put."""
+    import jax.numpy as jnp
+    from stereo_svo_tpu.ops import klt as klt_ops, pyramid as pyr_ops
+
+    H, W = 64, 256
+    x = np.arange(W, dtype=np.float32)
+    # smooth vertical edge at x=128 (no horizontal texture)
+    img0 = np.tile(200.0 / (1 + np.exp(-(x - 128.0) / 2.0)), (H, 1))
+    img1 = np.tile(200.0 / (1 + np.exp(-(x - 131.0) / 2.0)), (H, 1))
+
+    cfg2 = SvoConfig(
+        camera=CFG.camera, klt_levels=1, klt_max_iters=12, klt_patch=8)
+    lv0, gx0, gy0 = pyr_ops.build_with_gradients(
+        jnp.asarray(img0), cfg2.num_levels)
+    n = 4
+    uv = jnp.asarray([[128.0, 20.0], [128.0, 30.0], [128.0, 40.0],
+                      [128.0, 50.0]], jnp.float32)
+    mask = jnp.ones(n, bool)
+    tmpl = klt_ops.make_template(lv0, gx0, gy0, cfg2, uv, mask)
+    lv1 = pyr_ops.build(jnp.asarray(img1), cfg2.num_levels)
+
+    edge_dir = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (n, 1))
+    uv_out, ok, _ = klt_ops.track(lv1, tmpl, cfg2, uv,
+                                  edge_dir=edge_dir,
+                                  is_edgelet=jnp.ones(n, bool))
+    # recovered the 3px shift along the normal…
+    np.testing.assert_allclose(np.asarray(uv_out[:, 0]), 131.0, atol=0.2)
+    # …and did not drift along the (unobservable) edge direction
+    np.testing.assert_allclose(np.asarray(uv_out[:, 1]),
+                               np.asarray(uv[:, 1]), atol=1e-3)
