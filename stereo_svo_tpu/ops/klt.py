@@ -39,7 +39,6 @@ def make_template(levels: Sequence[jnp.ndarray],
                   mask: jnp.ndarray) -> KltTemplate:
     """Extract KLT templates at level-0 positions ``uv`` from a keyframe."""
     P = cfg.klt_patch
-    offs = interp.patch_coords(P)
     patches, jacs, hinvs = [], [], []
     for lv in range(cfg.klt_levels):
         scale = 1.0 / (2 ** lv)
@@ -79,7 +78,6 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
       residual: (N,) mean absolute photometric residual (diagnostic).
     """
     P = cfg.klt_patch
-    offs = interp.patch_coords(P)
     uv = uv_init
 
     converged = jnp.zeros(uv.shape[0], dtype=bool)
