@@ -167,6 +167,15 @@ def trajectory_pose(t: jnp.ndarray, kind: str = "arc") -> jnp.ndarray:
         wy = 0.06 * jnp.sin(0.5 * t)
         wx = 0.03 * jnp.sin(0.8 * t + 1.0)
         wz = 0.02 * jnp.sin(1.1 * t)
+    elif kind == "loop":
+        # out-and-back: forward then return near the start (long-run
+        # stability / revisit behavior)
+        tx = 0.20 * jnp.sin(0.5 * t)
+        ty = 0.05 * jnp.sin(0.9 * t)
+        tz = 0.8 * jnp.sin(0.35 * t)        # advance then come back
+        wy = 0.05 * jnp.sin(0.45 * t)
+        wx = 0.02 * jnp.sin(0.7 * t)
+        wz = 0.015 * jnp.sin(1.0 * t)
     elif kind == "still":
         z = jnp.zeros_like(t)
         tx = ty = tz = wx = wy = wz = z

@@ -80,6 +80,43 @@ def test_determinism(arc_sequence):
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_loop_trajectory_returns_home():
+    """Out-and-back trajectory: drift at return must stay small (long-run
+    stability; the map is revisited with old keyframes evicted)."""
+    lefts, rights, gt = synthetic.make_sequence(CFG.camera, 40, dt=0.25,
+                                                kind="loop", seed=1)
+    traj, metrics = runner.run_sequence(CFG, lefts, rights)
+    assert metrics["tracking_ok"].mean() > 0.95
+    err = ate.ate_rmse(ate.positions(traj), ate.positions(gt))
+    assert err < 0.05, f"loop ATE {err:.3f} m"
+    # end-point error (unaligned drift proxy)
+    end_err = np.linalg.norm(traj[-1, :, 3] - gt[-1, :, 3])
+    assert end_err < 0.1, f"endpoint drift {end_err:.3f} m"
+
+
+def test_window_ba_guard_rejects_corrupted_observations():
+    """run_window_ba must not move the map when fed garbage observations
+    (the divergence guard is what keeps adversarial KF data from
+    destroying tracking — regression for the observed failure mode)."""
+    import jax
+    from stereo_svo_tpu.engine import step as step_mod
+
+    lefts, rights, _ = synthetic.make_sequence(CFG.camera, 8, dt=0.12,
+                                               kind="arc", seed=0)
+    svo = runner.StereoSvo(CFG)
+    for l, r in zip(lefts, rights):
+        svo.new_image(l, r)
+    st = svo.state
+    # corrupt every observation badly
+    rng = np.random.default_rng(0)
+    bad_uv = jnp.asarray(
+        rng.uniform(0, CFG.camera.width, st.obs_uv.shape), jnp.float32)
+    st_bad = st._replace(obs_uv=bad_uv)
+    st_out = jax.jit(lambda s: step_mod.run_window_ba(CFG, s))(st_bad)
+    np.testing.assert_allclose(np.asarray(st_out.kf_T_wk),
+                               np.asarray(st.kf_T_wk), atol=1e-5)
+
+
 def test_tracking_failure_detection_and_recovery(arc_sequence):
     """Blackout frames mid-sequence: the engine must flag failure (not
     silently emit garbage poses), keep its map, and recover once real
