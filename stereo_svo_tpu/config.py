@@ -69,9 +69,9 @@ class SvoConfig:
     align_patch: int = 4           # photometric patch (ref SVO uses 4x4)
     align_max_iters: int = 10      # GN iterations per level
     align_levels: int = 4          # coarse-to-fine levels used for alignment
-    align_min_level: int = 1       # finest level in alignment (KLT + pose
-                                   # refinement own sub-level-1 precision,
-                                   # as in SVO's min_level; ATE-neutral)
+    align_min_level: int = 0       # finest level in alignment. min_level=1
+                                   # (SVO-style) gives +18% fps but 3x ATE
+                                   # on the full-scale bench — keep 0.
     align_huber: float = 8.0       # Huber k on intensity residuals (u8 scale)
 
     # --- KLT feature alignment (ref: OpticalFlow) ---
