@@ -70,9 +70,14 @@ def _run(n_frames: int, repeats: int = 2):
     for _ in range(repeats):
         t0 = time.perf_counter()
         state, outs = run(lefts, rights)
-        jax.block_until_ready(outs.T_wc)
-        best = min(best, time.perf_counter() - t0)
-    fps = n_frames / best
+        jax.block_until_ready((state, outs))
+        dt = time.perf_counter() - t0
+        # guard against async-dispatch artifacts through the remote PJRT
+        # tunnel (observed once: block_until_ready returned in ~0.3 ms →
+        # absurd fps); a full-pipeline frame can't be faster than ~0.1 ms
+        if dt > n_frames * 1e-4:
+            best = min(best, dt)
+    fps = n_frames / best if best < float("inf") else float("nan")
 
     err = ate.ate_rmse(ate.positions(np.asarray(outs.T_wc)),
                        ate.positions(np.stack(gts)))
@@ -140,11 +145,14 @@ def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2):
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _, outs = run(lefts, rights)
-        jax.block_until_ready(outs.T_wc)
-        best = min(best, time.perf_counter() - t0)
+        st, outs = run(lefts, rights)
+        jax.block_until_ready((st, outs))
+        dt = time.perf_counter() - t0
+        if dt > n_frames * 1e-4:     # see artifact guard in _run
+            best = min(best, dt)
     ok = float(np.asarray(outs.tracking_ok).mean())
-    return batch * n_frames / best, ok
+    fps = batch * n_frames / best if best < float("inf") else float("nan")
+    return fps, ok
 
 
 def main():

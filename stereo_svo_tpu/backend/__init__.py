@@ -1,1 +1,1 @@
-from . import ba, pose_graph  # noqa: F401
+from . import ba, loop_closure, pose_graph  # noqa: F401

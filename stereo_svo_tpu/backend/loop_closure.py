@@ -1,0 +1,271 @@
+"""Appearance-based place recognition + loop-closure edge measurement.
+
+The reference is pure odometry — no loop closure exists upstream (SVO-family
+systems drift; SURVEY.md §5.3 lists relocalization as absent/stretch). The
+pose-graph layer [SPEC] accepts loop edges, so this module supplies the two
+missing pieces, TPU-native:
+
+1. **Global descriptor** (``descriptor``): the keyframe's coarsest pyramid
+   level average-pooled onto a tiny fixed grid, zero-mean / unit-norm — a
+   "tiny thumbnail" place-recognition signature (the classic small-image
+   ZNCC matcher of SeqSLAM / LSD-SLAM-style relocalization). Similarity of
+   two descriptors is their dot product == ZNCC of the pooled thumbnails,
+   invariant to affine lighting. Descriptor compare against a keyframe bank
+   is one matvec — MXU-friendly, no trees or vocabularies.
+
+2. **Edge proposal** (``propose_edges``): dense descriptor similarity
+   matrix over the keyframe bank, masked by validity, temporal separation
+   (same-sequence pairs must be ``loop_min_gap`` frames apart; cross-
+   sequence pairs always eligible), thresholded, top-k → a fixed-capacity
+   ``(E,2)`` edge list with scores. Static shapes throughout (the bank is
+   the fixed keyframe ring / global-map concatenation).
+
+3. **Edge measurement** (``measure_edges``): for a proposed pair (i, j),
+   coarse sparse direct alignment of keyframe j's stored thumbnail against
+   keyframe i's stereo-observed feature points (obs_uv + disparity →
+   depth), reusing the production alignment kernel (ops/align.py) on a
+   thumbnail-scaled camera model. Edges whose photometric inlier fraction
+   stays below ``loop_accept_frac`` are rejected (weight 0). Accepted
+   edges carry the measured relative pose Z = T_i←j for
+   backend/pose_graph.optimize.
+
+All three are jit/vmap-safe; ``measure_edges`` vmaps the GN alignment over
+the edge list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, SvoConfig
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..ops import align as align_ops
+from ..ops import pyramid
+from . import pose_graph
+
+
+def descriptor(img: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    """Tiny-thumbnail global descriptor of a (coarse) image level.
+
+    Average-pools onto a (rows, cols) grid, removes mean, L2-normalizes.
+    Returns (rows*cols,) f32 with ||d|| = 1; dot(d_a, d_b) == ZNCC of the
+    pooled thumbnails (affine-lighting invariant).
+    """
+    H, W = img.shape
+    ch, cw = H // rows, W // cols
+    x = img[: rows * ch, : cols * cw].astype(jnp.float32)
+    pooled = x.reshape(rows, ch, cols, cw).mean(axis=(1, 3)).reshape(-1)
+    pooled = pooled - jnp.mean(pooled)
+    return pooled / jnp.maximum(jnp.linalg.norm(pooled), 1e-6)
+
+
+def similarity(desc: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
+    """(D,) query vs (K, D) bank → (K,) ZNCC scores in [-1, 1]."""
+    return bank @ desc
+
+
+def relocalize(kf_desc: jnp.ndarray, kf_valid: jnp.ndarray,
+               coarse_img: jnp.ndarray, rows: int, cols: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Appearance-nearest keyframe for a query frame.
+
+    Relocalization breadth (SURVEY.md §5.3): after tracking failure the
+    restart pose is seeded from the keyframe whose descriptor best matches
+    the current image — a search over ALL stored keyframes, not just the
+    most recent one. Returns (slot, score); invalid slots score -2 (below
+    the ZNCC floor of -1).
+    """
+    d = descriptor(coarse_img, rows, cols)
+    scores = jnp.where(kf_valid, kf_desc @ d, -2.0)
+    return jnp.argmax(scores).astype(jnp.int32), jnp.max(scores)
+
+
+class LoopProposals(NamedTuple):
+    edges_ij: jnp.ndarray   # (E,2) int32 — keyframe indices (i, j), i "older"
+    score: jnp.ndarray      # (E,) descriptor ZNCC
+    valid: jnp.ndarray      # (E,) bool
+
+
+def propose_edges(desc: jnp.ndarray, valid: jnp.ndarray,
+                  stamp: jnp.ndarray, seq: jnp.ndarray,
+                  min_score: float, min_gap: int, max_edges: int
+                  ) -> LoopProposals:
+    """Top-``max_edges`` loop candidates from the descriptor bank.
+
+    Args:
+      desc: (K, D) keyframe descriptors.
+      valid: (K,) keyframe validity.
+      stamp: (K,) int32 frame index at keyframe creation (temporal order).
+      seq: (K,) int32 sequence id (global map); pass zeros for one sequence.
+    """
+    K = desc.shape[0]
+    S = desc @ desc.T                                    # (K, K)
+    i = jnp.arange(K)
+    pair_ok = (valid[:, None] & valid[None, :]
+               & (i[:, None] < i[None, :]))              # upper triangle
+    same = seq[:, None] == seq[None, :]
+    gap = jnp.abs(stamp[:, None] - stamp[None, :])
+    pair_ok &= jnp.where(same, gap >= min_gap, True)
+    S = jnp.where(pair_ok, S, -2.0)
+
+    flat = S.reshape(-1)
+    top, idx = jax.lax.top_k(flat, max_edges)
+    ei = idx // K
+    ej = idx % K
+    return LoopProposals(
+        edges_ij=jnp.stack([ei, ej], -1).astype(jnp.int32),
+        score=top,
+        valid=top >= min_score)
+
+
+def _thumb_cfg(cfg: SvoConfig) -> Tuple[CameraConfig, SvoConfig]:
+    """Camera + align config operating directly at thumbnail resolution."""
+    s = 1.0 / (2 ** cfg.thumb_level)
+    cam = cfg.camera
+    th, tw = cfg.thumb_shape
+    cam_t = dataclasses.replace(
+        cam, fx=cam.fx * s, fy=cam.fy * s, cx=cam.cx * s, cy=cam.cy * s,
+        width=tw, height=th)
+    cfg_t = dataclasses.replace(
+        cfg, camera=cam_t, num_levels=1, align_levels=1, align_min_level=0,
+        klt_levels=1, align_patch=cfg.loop_patch,
+        align_max_iters=cfg.loop_align_iters)
+    return cam_t, cfg_t
+
+
+class LoopMeasurement(NamedTuple):
+    Z: jnp.ndarray            # (E,3,4) measured T_i←j
+    inlier_frac: jnp.ndarray  # (E,)
+    cost: jnp.ndarray         # (E,) final mean robust photometric cost
+    accept: jnp.ndarray       # (E,) bool
+
+
+def measure_edges(cfg: SvoConfig, props: LoopProposals,
+                  kf_T_wk: jnp.ndarray, kf_thumb: jnp.ndarray,
+                  obs_uv: jnp.ndarray, obs_mask: jnp.ndarray,
+                  obs_disp: jnp.ndarray, obs_dmask: jnp.ndarray
+                  ) -> LoopMeasurement:
+    """Measure relative poses for proposed edges by thumbnail alignment.
+
+    For edge (i, j): keyframe i contributes 3-D points (its stereo-observed
+    features: obs_uv[i] + obs_disp[i] → depth) and reference patches from
+    its thumbnail; keyframe j contributes the target thumbnail. Coarse IC
+    Gauss-Newton (ops/align.align, single level) estimates T_j←i starting
+    from the current pose estimates — the loop-closure situation is exactly
+    "current estimates drifted"; the coarse level's wide convergence basin
+    is what absorbs that drift.
+
+    Returns Z = T_i←j (the pose-graph measurement convention,
+    backend/pose_graph._residual) and a photometric acceptance gate.
+    """
+    cam_t, cfg_t = _thumb_cfg(cfg)
+    s = 1.0 / (2 ** cfg.thumb_level)
+
+    def one(edge, score_valid):
+        i, j = edge[0], edge[1]
+        thumb_i = kf_thumb[i]
+        thumb_j = kf_thumb[j]
+        gx, gy = pyramid.gradients(thumb_i)
+        cam_full = cfg.camera
+        z_i = cam_mod.disparity_to_depth(cam_full, obs_disp[i])
+        m = (obs_mask[i] & obs_dmask[i] & (z_i > 0.1)
+             & jnp.asarray(score_valid))
+        uv_t = obs_uv[i] * s
+        tmpl = align_ops.make_template(
+            (thumb_i,), (gx,), (gy,), cam_t, cfg_t, uv_t,
+            jnp.where(m, z_i, 1.0), m)
+        T_init = se3.compose(se3.inverse(kf_T_wk[j]), kf_T_wk[i])  # T_j←i
+        T_ji, stats = align_ops.align((thumb_j,), tmpl, cam_t, cfg_t,
+                                      T_init)
+        return se3.inverse(T_ji), stats["align_inlier_frac"], \
+            stats["align_cost"]
+
+    Z, frac, cost = jax.vmap(one)(props.edges_ij, props.valid)
+    accept = props.valid & (frac >= cfg.loop_accept_frac)
+    return LoopMeasurement(Z=Z, inlier_frac=frac, cost=cost, accept=accept)
+
+
+def close_loops(cfg: SvoConfig, kf_T_wk: jnp.ndarray, kf_valid: jnp.ndarray,
+                kf_desc: jnp.ndarray, kf_thumb: jnp.ndarray,
+                kf_stamp: jnp.ndarray, kf_seq: jnp.ndarray,
+                obs_uv: jnp.ndarray, obs_mask: jnp.ndarray,
+                obs_disp: jnp.ndarray, obs_dmask: jnp.ndarray
+                ) -> Tuple[pose_graph.PoseGraph, LoopMeasurement]:
+    """Detect, measure, and gate loop edges over a keyframe bank.
+
+    Returns a fixed-capacity PoseGraph of loop edges (rejected proposals
+    carry weight 0 — safe to concatenate with the odometry chain graph) and
+    the raw measurements for diagnostics.
+    """
+    props = propose_edges(kf_desc, kf_valid, kf_stamp, kf_seq,
+                          cfg.loop_min_score, cfg.loop_min_gap,
+                          cfg.loop_max_edges)
+    meas = measure_edges(cfg, props, kf_T_wk, kf_thumb,
+                         obs_uv, obs_mask, obs_disp, obs_dmask)
+    graph = pose_graph.PoseGraph(
+        edges_ij=props.edges_ij, Z=meas.Z,
+        weight=meas.accept.astype(jnp.float32))
+    return graph, meas
+
+
+def refine_trajectory(cfg: SvoConfig, state, traj_T_wc,
+                      chain_weight: float = 1.0):
+    """Offline single-sequence loop closing over a finished run.
+
+    Detects loop edges in the engine's keyframe bank, optimizes the
+    stamp-ordered odometry chain + loop edges as a pose graph, and
+    propagates each keyframe's correction to the frames of its segment
+    (every frame between its stamp and the next keyframe's stamp) — the
+    standard pose-graph trajectory correction.
+
+    Args:
+      state: final engine SlamState.
+      traj_T_wc: (T,3,4) per-frame camera→world poses from the run.
+    Returns:
+      (traj_refined (T,3,4), kf_T_wk_refined (K,3,4), n_edges accepted).
+    """
+    import numpy as np
+
+    graph_loop, meas = close_loops(
+        cfg, state.kf_T_wk, state.kf_valid, state.kf_desc, state.kf_thumb,
+        state.kf_stamp, jnp.zeros_like(state.kf_stamp),
+        state.obs_uv, state.obs_mask, state.obs_disp, state.obs_dmask)
+    n_edges = int(np.asarray(graph_loop.weight.sum()))
+    if n_edges == 0:
+        return np.asarray(traj_T_wc), np.asarray(state.kf_T_wk), 0
+
+    chain = pose_graph.chain_graph_stamped(state.kf_T_wk, state.kf_valid,
+                                           state.kf_stamp)
+    full = pose_graph.PoseGraph(
+        edges_ij=jnp.concatenate([chain.edges_ij, graph_loop.edges_ij]),
+        Z=jnp.concatenate([chain.Z, graph_loop.Z]),
+        weight=jnp.concatenate([chain.weight * chain_weight,
+                                graph_loop.weight]))
+    # gauge: pin the oldest valid keyframe
+    stamp_np = np.asarray(state.kf_stamp)
+    valid_np = np.asarray(state.kf_valid)
+    oldest = int(np.argmin(np.where(valid_np, stamp_np, np.iinfo(np.int32).max)))
+    T_opt, _ = pose_graph.optimize(state.kf_T_wk, state.kf_valid, full,
+                                   n_iters=10, fixed=oldest)
+
+    # propagate: frame t gets the correction of the latest KF with
+    # stamp <= t (world-frame delta ∘ old pose)
+    T_opt_np = np.asarray(T_opt)
+    T_old_np = np.asarray(state.kf_T_wk)
+    traj = np.asarray(traj_T_wc)
+    slots = np.where(valid_np)[0]
+    slots = slots[np.argsort(stamp_np[slots])]
+    out = traj.copy()
+    for s in slots:
+        delta = np.asarray(se3.compose(jnp.asarray(T_opt_np[s]),
+                                       se3.inverse(jnp.asarray(T_old_np[s]))))
+        sel = np.arange(traj.shape[0]) >= stamp_np[s]
+        R, t = delta[:, :3], delta[:, 3]
+        out[sel, :, :3] = np.einsum("ij,njk->nik", R, traj[sel, :, :3])
+        out[sel, :, 3] = np.einsum("ij,nj->ni", R, traj[sel, :, 3]) + t
+    return out, T_opt_np, n_edges

@@ -43,6 +43,27 @@ def chain_graph(T_wk: jnp.ndarray, valid: jnp.ndarray,
     return PoseGraph(edges_ij=jnp.stack([i, j], -1), Z=Z, weight=w)
 
 
+def chain_graph_stamped(T_wk: jnp.ndarray, valid: jnp.ndarray,
+                        stamp: jnp.ndarray) -> PoseGraph:
+    """Odometry chain edges between *temporally* consecutive keyframes.
+
+    The keyframe store is a ring with least-owned eviction
+    (frontend/keyframe.py), so slot order is not temporal order once a
+    slot has been reused; edges here follow ``stamp`` (frame index at
+    creation) instead. Fixed capacity K-1 edges, invalid tail masked.
+    """
+    K = T_wk.shape[0]
+    order = jnp.argsort(jnp.where(valid, stamp, jnp.iinfo(jnp.int32).max))
+    n = jnp.sum(valid)
+    i = order[:-1]
+    j = order[1:]
+    Z = jax.vmap(lambda a, b: se3.compose(se3.inverse(a), b))(
+        T_wk[i], T_wk[j])
+    w = (jnp.arange(K - 1) < n - 1).astype(jnp.float32)
+    return PoseGraph(edges_ij=jnp.stack([i, j], -1).astype(jnp.int32),
+                     Z=Z, weight=w)
+
+
 def _residual(T_wk: jnp.ndarray, graph: PoseGraph) -> jnp.ndarray:
     """(E,6) residuals of all edges."""
     Ti = T_wk[graph.edges_ij[:, 0]]

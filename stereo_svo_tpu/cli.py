@@ -62,6 +62,10 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics-out", help="write per-frame metrics JSON")
+    p.add_argument("--loop-closure", action="store_true",
+                   help="after the run, detect appearance-based loop "
+                        "closures in the keyframe bank and refine the "
+                        "exported trajectory by pose-graph optimization")
     args = p.parse_args(argv)
 
     if args.dataset == "euroc":
@@ -94,6 +98,13 @@ def main(argv=None):
     elapsed = time.perf_counter() - t0
 
     traj = svo.trajectory()
+    n_loop_edges = 0
+    if args.loop_closure:
+        from .backend import loop_closure
+        traj, _, n_loop_edges = loop_closure.refine_trajectory(
+            cfg, svo.state, traj)
+        print(f"loop closure: {n_loop_edges} edge(s) accepted",
+              file=sys.stderr)
     if args.format == "tum":
         trajectory.save_tum(args.out, traj, timestamps)
     else:
@@ -106,6 +117,7 @@ def main(argv=None):
         "keyframes": int(metrics["kf_inserted"].sum()),
         "tracking_ok_frac": float(metrics["tracking_ok"].mean()),
         "mean_tracked": float(metrics["n_tracked"][1:].mean()) if n > 1 else 0,
+        "loop_edges": n_loop_edges,
         "out": args.out,
     }
     if args.metrics_out:

@@ -79,6 +79,11 @@ class SvoConfig:
     klt_max_iters: int = 6
     klt_levels: int = 3
     klt_conv_eps: float = 0.03     # px; squared-step convergence threshold
+    klt_affine_warp: bool = False  # resample templates through the pose-
+                                   # predicted affine warp (SVO's
+                                   # getWarpMatrixAffine) — for low-KF-rate
+                                   # operation; the default KF rate keeps
+                                   # templates fresh without it
 
     # --- pose refinement (ref: PoseRefiner) ---
     refine_max_iters: int = 10
@@ -100,6 +105,28 @@ class SvoConfig:
     ba_iters: int = 5              # GN/LM outer iterations
     ba_huber_px: float = 2.0
 
+    # --- place recognition / loop closure (backend/loop_closure.py) ---
+    # The reference has no loop closure (SVO is pure odometry); the pose
+    # graph [SPEC] accepts loop edges, so detection + measurement are
+    # provided here: a tiny-thumbnail ZNCC global descriptor per keyframe
+    # (also the relocalization index) and coarse direct alignment on stored
+    # keyframe thumbnails to measure accepted edges.
+    loop_desc_rows: int = 6        # descriptor pooling grid (rows x cols)
+    loop_desc_cols: int = 8
+    loop_thumb_level: int = 2      # pyramid level stored as KF thumbnail
+    loop_patch: int = 4            # photometric patch for edge measurement
+    loop_align_iters: int = 20     # GN iterations for edge measurement
+    loop_min_score: float = 0.60   # descriptor ZNCC to propose an edge —
+                                   # a cheap prefilter only (capacity is
+                                   # loop_max_edges either way); the
+                                   # photometric gate on the measured edge
+                                   # is the correctness filter. Measured:
+                                   # a true revisit with ~10° view change
+                                   # scores ~0.68, unrelated views <0.4.
+    loop_min_gap: int = 20         # min |frame stamp| separation (same seq)
+    loop_max_edges: int = 8        # fixed loop-edge capacity (masked)
+    loop_accept_frac: float = 0.6  # min photometric inlier frac to accept
+
     # --- numerics ---
     dtype: str = "float32"         # image/compute dtype ("float32"|"bfloat16")
 
@@ -107,6 +134,29 @@ class SvoConfig:
         assert self.align_levels <= self.num_levels
         assert self.klt_levels <= self.num_levels
         assert self.max_features >= 1 and self.max_keyframes >= 2
+
+    @property
+    def thumb_level(self) -> int:
+        """Pyramid level stored as the keyframe thumbnail (clamped so tiny
+        test configs with few levels stay valid)."""
+        return min(self.loop_thumb_level, self.num_levels - 1)
+
+    @property
+    def thumb_shape(self) -> Tuple[int, int]:
+        h, w = self.camera.height, self.camera.width
+        for _ in range(self.thumb_level):
+            h, w = h // 2, w // 2
+        return (h, w)
+
+    @property
+    def desc_dim(self) -> int:
+        return self.loop_desc_rows * self.loop_desc_cols
+
+    @property
+    def klt_big_patch(self) -> int:
+        """Oversized KLT template size for affine warping (1 = disabled —
+        the template tuple keeps a static dummy shape)."""
+        return 2 * self.klt_patch if self.klt_affine_warp else 1
 
 
 DEFAULT_CONFIG = SvoConfig()

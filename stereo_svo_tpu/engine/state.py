@@ -61,6 +61,9 @@ class SlamState(NamedTuple):
     kf_valid: jnp.ndarray    # (K,) bool
     kf_next: jnp.ndarray     # () int32 ring pointer
     last_kf: jnp.ndarray     # () int32 slot of the most recent keyframe
+    kf_stamp: jnp.ndarray    # (K,) int32 frame index at KF creation
+    kf_desc: jnp.ndarray     # (K,D) place-recognition descriptors
+    kf_thumb: jnp.ndarray    # (K,Ht,Wt) coarse thumbnails (loop measurement)
 
     # --- BA observation graph (K,N) ---
     obs_uv: jnp.ndarray      # (K,N,2) feature position snapshot at KF creation
@@ -119,11 +122,15 @@ def init_state(cfg: SvoConfig) -> SlamState:
             patches=jnp.zeros((Lk, N, P2k), f32),
             jac=jnp.zeros((Lk, N, P2k, 2), f32),
             hinv=jnp.zeros((Lk, N, 2, 2), f32),
-            mask=jnp.zeros(N, bool)),
+            mask=jnp.zeros(N, bool),
+            big=jnp.zeros((Lk, N, cfg.klt_big_patch ** 2), f32)),
         kf_T_wk=jnp.tile(se3.identity()[None], (K, 1, 1)),
         kf_valid=jnp.zeros(K, bool),
         kf_next=jnp.asarray(0, jnp.int32),
         last_kf=jnp.asarray(0, jnp.int32),
+        kf_stamp=jnp.zeros(K, jnp.int32),
+        kf_desc=jnp.zeros((K, cfg.desc_dim), f32),
+        kf_thumb=jnp.zeros((K,) + cfg.thumb_shape, f32),
         obs_uv=jnp.zeros((K, N, 2), f32),
         obs_mask=jnp.zeros((K, N), bool),
         obs_disp=jnp.zeros((K, N), f32),

@@ -21,12 +21,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..backend import loop_closure
 from ..config import SvoConfig
 from ..frontend import detector, keyframe, pose_refine
 from ..geometry import camera as cam_mod
 from ..geometry import se3
 from ..ops import align as align_ops
-from ..ops import depth_filter, klt as klt_ops, pyramid
+from ..ops import depth_filter, klt as klt_ops, pyramid, solve
 from .state import (STATUS_DEAD, STATUS_LANDMARK, STATUS_SEED, FrameOut,
                     SlamState, init_state)
 
@@ -130,10 +131,15 @@ def make_step(cfg: SvoConfig):
         def track(st: SlamState):
             # --- 1. sparse direct alignment vs previous frame ---
             # Relocalization seed (SURVEY.md §5.3): after a failed frame the
-            # constant-velocity prior is meaningless — restart the search
-            # from the last keyframe's pose instead.
+            # constant-velocity prior is meaningless — restart from the
+            # appearance-nearest stored keyframe (descriptor search over the
+            # whole bank, backend/loop_closure.relocalize), not blindly from
+            # the most recent one.
             T_init_vel = se3.exp(st.vel)
-            T_kf_rel = se3.compose(se3.inverse(st.kf_T_wk[st.last_kf]),
+            reloc, _ = loop_closure.relocalize(
+                st.kf_desc, st.kf_valid, pyr_l[cfg.num_levels - 1],
+                cfg.loop_desc_rows, cfg.loop_desc_cols)
+            T_kf_rel = se3.compose(se3.inverse(st.kf_T_wk[reloc]),
                                    se3.inverse(st.T_pw))
             T_init = jax.tree.map(
                 lambda a, b: jnp.where(st.tracking_ok, a, b),
@@ -150,10 +156,25 @@ def make_step(cfg: SvoConfig):
             in_img = front & cam_mod.in_bounds(
                 cam, uv_pred, margin=cfg.klt_patch + 2)
             klt_mask = active & in_img
+            if cfg.klt_affine_warp:
+                # pose-predicted affine template warp (SVO's
+                # getWarpMatrixAffine); degenerate/shrinking warps fall
+                # back to the identity (fronto-parallel template)
+                z_ref = 1.0 / jnp.maximum(st.mu, 1e-4)
+                T_ck_pred = se3.compose(T_cw_pred[None],
+                                        st.kf_T_wk[st.kf_id])
+                A = cam_mod.affine_warp_matrix(cam, st.kf_uv, z_ref,
+                                               T_ck_pred)
+                det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+                A = jnp.where((det > 0.05)[:, None, None], A,
+                              jnp.eye(2, dtype=A.dtype))
+                A_inv = solve.inv2x2(A)
+            else:
+                A_inv = None
             uv_ref, klt_ok, _ = klt_ops.track(
                 pyr_l, st.klt_tmpl._replace(mask=st.klt_tmpl.mask & klt_mask),
                 cfg, uv_pred, edge_dir=st.feat_dir,
-                is_edgelet=~st.feat_corner)
+                is_edgelet=~st.feat_corner, A_inv=A_inv)
             tracked = klt_mask & klt_ok
 
             # --- 3. motion-only pose refinement on reprojection ---

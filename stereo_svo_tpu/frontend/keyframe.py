@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..backend import loop_closure
 from ..config import SvoConfig
 from ..engine.state import (STATUS_DEAD, STATUS_SEED, SlamState)
 from ..geometry import camera as cam_mod
@@ -112,12 +113,22 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
         patches=blend(state.klt_tmpl.patches, fresh.patches),
         jac=blend(state.klt_tmpl.jac, fresh.jac),
         hinv=blend(state.klt_tmpl.hinv, fresh.hinv),
-        mask=jnp.where(new_rows, True, state.klt_tmpl.mask & (status > 0)))
+        mask=jnp.where(new_rows, True, state.klt_tmpl.mask & (status > 0)),
+        big=blend(state.klt_tmpl.big, fresh.big))
 
     # --- keyframe ring buffer ---
     T_wk = se3.inverse(T_cw)
     kf_T_wk = state.kf_T_wk.at[slot].set(T_wk)
     kf_valid = state.kf_valid.at[slot].set(True)
+
+    # --- place-recognition record: descriptor + coarse thumbnail ---
+    # (backend/loop_closure.py; also the relocalization index — step()
+    # seeds re-tracking from the appearance-nearest keyframe.)
+    desc = loop_closure.descriptor(pyr_l[cfg.num_levels - 1],
+                                   cfg.loop_desc_rows, cfg.loop_desc_cols)
+    kf_stamp = state.kf_stamp.at[slot].set(state.frame_idx)
+    kf_desc = state.kf_desc.at[slot].set(desc)
+    kf_thumb = state.kf_thumb.at[slot].set(pyr_l[cfg.thumb_level])
 
     # --- observation snapshot for BA (every tracked feature, incl. new) ---
     # Re-match stereo at ALL tracked features' current positions so each
@@ -150,5 +161,6 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
         z_range=z_range, n_upd=n_upd, klt_tmpl=klt_tmpl,
         kf_T_wk=kf_T_wk, kf_valid=kf_valid,
         kf_next=state.kf_next + 1, last_kf=slot,
+        kf_stamp=kf_stamp, kf_desc=kf_desc, kf_thumb=kf_thumb,
         obs_uv=obs_uv, obs_mask=obs_mask,
         obs_disp=obs_disp, obs_dmask=obs_dmask)

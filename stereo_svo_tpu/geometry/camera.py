@@ -85,6 +85,36 @@ def proj_pose_jacobian(cam: CameraConfig, x_cam: jnp.ndarray, level: int = 0):
     return jnp.concatenate([J_v, J_w], axis=-1)    # (…,2,6)
 
 
+def affine_warp_matrix(cam: CameraConfig, uv_ref: jnp.ndarray,
+                       z_ref: jnp.ndarray, T_cr: jnp.ndarray) -> jnp.ndarray:
+    """First-order pixel warp A = ∂uv_cur/∂uv_ref around a feature (…,2,2).
+
+    Reference parity: SVO's getWarpMatrixAffine — predicts how a patch
+    around (uv_ref, z_ref) in the reference view deforms in the current
+    view under relative pose T_cr (ref→cur), assuming locally constant
+    depth. Analytic chain: A = J_proj(x_cur) · R_cr · J_backproj(z_ref);
+    pure-scale for forward motion, rotation for roll. Scale-invariant
+    across pyramid levels (the fx factors cancel between the two
+    Jacobians' level scalings).
+
+    uv_ref: (…,2) level-0 pixels; z_ref: (…) depths; T_cr: (…,3,4).
+    """
+    x_ref = backproject(cam, uv_ref, z_ref)              # (…,3)
+    x_cur = se3.transform(T_cr, x_ref)
+    Jp = proj_jacobian(cam, x_cur)                       # (…,2,3)
+    R = T_cr[..., :3, :3]
+    fx, fy, _, _ = intrinsics(cam, 0, uv_ref.dtype)
+    # d backproject / d uv at fixed depth: z · diag(1/fx, 1/fy), third row 0
+    zb = z_ref[..., None, None]
+    Jb_cols = jnp.stack(
+        [jnp.stack([1.0 / fx * jnp.ones_like(z_ref),
+                    jnp.zeros_like(z_ref), jnp.zeros_like(z_ref)], -1),
+         jnp.stack([jnp.zeros_like(z_ref),
+                    1.0 / fy * jnp.ones_like(z_ref),
+                    jnp.zeros_like(z_ref)], -1)], -1) * zb  # (…,3,2)
+    return jnp.einsum("...ij,...jk,...kl->...il", Jp, R, Jb_cols)
+
+
 def in_bounds(cam: CameraConfig, uv: jnp.ndarray, level: int = 0,
               margin: float = 0.0) -> jnp.ndarray:
     """Mask of pixels inside the level-l image with a margin."""

@@ -9,6 +9,15 @@ features advance together through a fixed iteration schedule with
 convergence masking (a converged feature's update is zeroed, not branched).
 Template gradients/Hessians are precomputed at keyframe creation — per
 iteration only one batched bilinear gather of the current image runs.
+
+Affine-warped templates (``cfg.klt_affine_warp``, SVO's
+getWarpMatrixAffine): for large viewpoint change between the owner keyframe
+and the current frame, a stored oversized template patch is resampled once
+per frame through the pose-predicted local affine warp A = ∂uv_cur/∂uv_ref
+(geometry/camera.affine_warp_matrix); the warped patch, its gradients and
+IC Hessian replace the stored fronto-parallel ones. Off by default — the
+engine's keyframe rate keeps templates fresh; enable for low-KF-rate
+operation.
 """
 
 from __future__ import annotations
@@ -31,6 +40,8 @@ class KltTemplate(NamedTuple):
     jac: jnp.ndarray       # (L, N, P2, 2) template gradients (du, dv)
     hinv: jnp.ndarray      # (L, N, 2, 2) inverse IC Hessians
     mask: jnp.ndarray      # (N,)
+    big: jnp.ndarray       # (L, N, B2) oversized patches for affine warping
+                           # (B = 2·klt_patch when enabled, else B2 == 1)
 
 
 def make_template(levels: Sequence[jnp.ndarray],
@@ -39,7 +50,9 @@ def make_template(levels: Sequence[jnp.ndarray],
                   mask: jnp.ndarray) -> KltTemplate:
     """Extract KLT templates at level-0 positions ``uv`` from a keyframe."""
     P = cfg.klt_patch
-    patches, jacs, hinvs = [], [], []
+    B = cfg.klt_big_patch
+    N = uv.shape[0]
+    patches, jacs, hinvs, bigs = [], [], [], []
     for lv in range(cfg.klt_levels):
         scale = 1.0 / (2 ** lv)
         t = interp.sample_patch(levels[lv], uv * scale, P)
@@ -54,14 +67,46 @@ def make_template(levels: Sequence[jnp.ndarray],
         hinvs.append(solve.inv2x2(H))
         patches.append(t)
         jacs.append(J)
+        if B > 1:
+            bigs.append(interp.sample_patch(levels[lv], uv * scale, B))
+        else:
+            bigs.append(jnp.zeros((N, 1), t.dtype))
     return KltTemplate(patches=jnp.stack(patches), jac=jnp.stack(jacs),
-                       hinv=jnp.stack(hinvs), mask=mask)
+                       hinv=jnp.stack(hinvs), mask=mask,
+                       big=jnp.stack(bigs))
+
+
+def warp_template_level(big: jnp.ndarray, A_inv: jnp.ndarray, patch: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Resample stored oversized patches through per-feature affine warps.
+
+    big: (N, B²) oversized template patches (ref-frame pixel grid).
+    A_inv: (N, 2, 2) maps current-frame patch offsets → ref-frame offsets.
+    Returns (patches (N,P²), jac (N,P²,2), hinv (N,2,2)) — the warped
+    template, its gradients in *current-frame* pixel coordinates (chain
+    rule through A⁻¹), and the inverse IC Hessian.
+    """
+    N, B2 = big.shape
+    B = int(round(B2 ** 0.5))
+    imgs = big.reshape(N, B, B)
+    offs = interp.patch_coords(patch, big.dtype)          # (P2, 2) cur px
+    r_ref = jnp.einsum("nij,pj->npi", A_inv, offs)        # (N, P2, 2) ref px
+    # big-patch index coords: grid spans offsets [-(B-1)/2, (B-1)/2]
+    pts = r_ref + (B - 1) / 2.0
+    val, gu, gv = jax.vmap(interp.bilinear_with_grad)(imgs, pts)
+    g_ref = jnp.stack([gu, gv], axis=-1)                  # (N, P2, 2)
+    J = jnp.einsum("npj,nji->npi", g_ref, A_inv)          # cur-frame coords
+    H = jnp.einsum("npi,npj->nij", J, J,
+                   preferred_element_type=jnp.float32)
+    H = H + 1e-3 * jnp.eye(2, dtype=H.dtype)
+    return val, J, solve.inv2x2(H)
 
 
 def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
           cfg: SvoConfig, uv_init: jnp.ndarray,
           edge_dir: jnp.ndarray | None = None,
           is_edgelet: jnp.ndarray | None = None,
+          A_inv: jnp.ndarray | None = None,
           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine feature positions in the current frame.
 
@@ -72,6 +117,10 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
         gradient normal (1-DoF — the reference's edgelet treatment: the
         position along the edge is unobservable, src/lib/corner_detector.*
         [UNVERIFIED]).
+      A_inv: optional (N,2,2) inverse affine warps (cur→ref patch offsets);
+        with ``cfg.klt_affine_warp`` templates, resamples the oversized
+        stored patches once per level instead of using the fronto-parallel
+        ones.
     Returns:
       uv: (N, 2) refined positions.
       converged: (N,) bool — final update below threshold and in-bounds.
@@ -79,6 +128,7 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
     """
     P = cfg.klt_patch
     uv = uv_init
+    use_warp = A_inv is not None and tmpl.big.shape[-1] > 1
 
     converged = jnp.zeros(uv.shape[0], dtype=bool)
     res = jnp.zeros(uv.shape[0], dtype=levels_cur[0].dtype)
@@ -86,9 +136,12 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
     for lv in range(cfg.klt_levels - 1, -1, -1):
         img = levels_cur[lv]
         H, W = img.shape
-        t = tmpl.patches[lv]
-        J = tmpl.jac[lv]
-        Hinv = tmpl.hinv[lv]
+        if use_warp:
+            t, J, Hinv = warp_template_level(tmpl.big[lv], A_inv, P)
+        else:
+            t = tmpl.patches[lv]
+            J = tmpl.jac[lv]
+            Hinv = tmpl.hinv[lv]
         scale = 1.0 / (2 ** lv)
 
         def body(it, carry):

@@ -22,7 +22,7 @@ from typing import List, NamedTuple, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..backend import pose_graph
+from ..backend import loop_closure, pose_graph
 from ..config import CameraConfig, SvoConfig
 from ..engine.state import STATUS_LANDMARK, SlamState
 from ..engine.step import world_points
@@ -42,6 +42,9 @@ class GlobalMap(NamedTuple):
     obs_mask: jnp.ndarray   # (BK,BN)
     obs_disp: jnp.ndarray   # (BK,BN)
     obs_dmask: jnp.ndarray  # (BK,BN)
+    kf_stamp: jnp.ndarray   # (BK,) frame index at KF creation
+    kf_desc: jnp.ndarray    # (BK,D) place-recognition descriptors
+    kf_thumb: jnp.ndarray   # (BK,Ht,Wt) coarse thumbnails
 
 
 def build_global_map(cfg: SvoConfig, states: List[SlamState]) -> GlobalMap:
@@ -68,8 +71,27 @@ def build_global_map(cfg: SvoConfig, states: List[SlamState]) -> GlobalMap:
         obs_mask = obs_mask.at[rk, rn].set(s.obs_mask)
         obs_disp = obs_disp.at[rk, rn].set(s.obs_disp)
         obs_dmask = obs_dmask.at[rk, rn].set(s.obs_dmask)
+    kf_stamp = jnp.concatenate([s.kf_stamp for s in states])
+    kf_desc = jnp.concatenate([s.kf_desc for s in states])
+    kf_thumb = jnp.concatenate([s.kf_thumb for s in states])
     return GlobalMap(kf_T_wk, kf_valid, kf_seq, X, X_mask,
-                     obs_uv, obs_mask, obs_disp, obs_dmask)
+                     obs_uv, obs_mask, obs_disp, obs_dmask,
+                     kf_stamp, kf_desc, kf_thumb)
+
+
+def detect_loop_edges(cfg: SvoConfig, gmap: GlobalMap
+                      ) -> Tuple[pose_graph.PoseGraph,
+                                 "loop_closure.LoopMeasurement"]:
+    """Appearance-based loop-closure detection over the global keyframe
+    bank (within and across sequences): descriptor match → thumbnail
+    direct-alignment measurement → photometric gate
+    (backend/loop_closure.close_loops). The returned graph's rejected
+    edges carry weight 0, so it can be passed straight to
+    ``optimize_global_map(loop_edges=...)``."""
+    return loop_closure.close_loops(
+        cfg, gmap.kf_T_wk, gmap.kf_valid, gmap.kf_desc, gmap.kf_thumb,
+        gmap.kf_stamp, gmap.kf_seq, gmap.obs_uv, gmap.obs_mask,
+        gmap.obs_disp, gmap.obs_dmask)
 
 
 def optimize_global_map(mesh, cam: CameraConfig, cfg: SvoConfig,
