@@ -217,46 +217,47 @@ def refine_trajectory(cfg: SvoConfig, state, traj_T_wc,
                       chain_weight: float = 1.0):
     """Offline single-sequence loop closing over a finished run.
 
-    Detects loop edges in the engine's keyframe bank, optimizes the
-    stamp-ordered odometry chain + loop edges as a pose graph, and
-    propagates each keyframe's correction to the frames of its segment
-    (every frame between its stamp and the next keyframe's stamp) — the
-    standard pose-graph trajectory correction.
+    Detects loop edges in the engine's **long-horizon memory bank**
+    (``mem_*`` in SlamState — every keyframe ever created, not just the
+    BA window), optimizes the stamp-ordered odometry chain + loop edges
+    as a pose graph, and propagates each keyframe's correction to the
+    frames of its segment (every frame between its stamp and the next
+    keyframe's stamp) — the standard pose-graph trajectory correction.
 
     Args:
       state: final engine SlamState.
       traj_T_wc: (T,3,4) per-frame camera→world poses from the run.
     Returns:
-      (traj_refined (T,3,4), kf_T_wk_refined (K,3,4), n_edges accepted).
+      (traj_refined (T,3,4), mem_T_wk_refined (M,3,4), n_edges accepted).
     """
     import numpy as np
 
     graph_loop, meas = close_loops(
-        cfg, state.kf_T_wk, state.kf_valid, state.kf_desc, state.kf_thumb,
-        state.kf_stamp, jnp.zeros_like(state.kf_stamp),
-        state.obs_uv, state.obs_mask, state.obs_disp, state.obs_dmask)
+        cfg, state.mem_T_wk, state.mem_valid, state.mem_desc,
+        state.mem_thumb, state.mem_stamp, jnp.zeros_like(state.mem_stamp),
+        state.mem_uv, state.mem_mask, state.mem_disp, state.mem_dmask)
     n_edges = int(np.asarray(graph_loop.weight.sum()))
     if n_edges == 0:
-        return np.asarray(traj_T_wc), np.asarray(state.kf_T_wk), 0
+        return np.asarray(traj_T_wc), np.asarray(state.mem_T_wk), 0
 
-    chain = pose_graph.chain_graph_stamped(state.kf_T_wk, state.kf_valid,
-                                           state.kf_stamp)
+    chain = pose_graph.chain_graph_stamped(state.mem_T_wk, state.mem_valid,
+                                           state.mem_stamp)
     full = pose_graph.PoseGraph(
         edges_ij=jnp.concatenate([chain.edges_ij, graph_loop.edges_ij]),
         Z=jnp.concatenate([chain.Z, graph_loop.Z]),
         weight=jnp.concatenate([chain.weight * chain_weight,
                                 graph_loop.weight]))
     # gauge: pin the oldest valid keyframe
-    stamp_np = np.asarray(state.kf_stamp)
-    valid_np = np.asarray(state.kf_valid)
+    stamp_np = np.asarray(state.mem_stamp)
+    valid_np = np.asarray(state.mem_valid)
     oldest = int(np.argmin(np.where(valid_np, stamp_np, np.iinfo(np.int32).max)))
-    T_opt, _ = pose_graph.optimize(state.kf_T_wk, state.kf_valid, full,
+    T_opt, _ = pose_graph.optimize(state.mem_T_wk, state.mem_valid, full,
                                    n_iters=10, fixed=oldest)
 
     # propagate: frame t gets the correction of the latest KF with
     # stamp <= t (world-frame delta ∘ old pose)
     T_opt_np = np.asarray(T_opt)
-    T_old_np = np.asarray(state.kf_T_wk)
+    T_old_np = np.asarray(state.mem_T_wk)
     traj = np.asarray(traj_T_wc)
     slots = np.where(valid_np)[0]
     slots = slots[np.argsort(stamp_np[slots])]

@@ -126,6 +126,13 @@ class SvoConfig:
     loop_min_gap: int = 20         # min |frame stamp| separation (same seq)
     loop_max_edges: int = 8        # fixed loop-edge capacity (masked)
     loop_accept_frac: float = 0.6  # min photometric inlier frac to accept
+    mem_keyframes: int = 48        # long-horizon place-recognition memory:
+                                   # every keyframe's descriptor/thumbnail/
+                                   # pose/stereo snapshot outlives the BA
+                                   # window's eviction in a FIFO ring of
+                                   # this capacity (loop closure and
+                                   # relocalization search this bank, not
+                                   # just the max_keyframes window)
 
     # --- numerics ---
     dtype: str = "float32"         # image/compute dtype ("float32"|"bfloat16")

@@ -64,6 +64,24 @@ class SlamState(NamedTuple):
     kf_stamp: jnp.ndarray    # (K,) int32 frame index at KF creation
     kf_desc: jnp.ndarray     # (K,D) place-recognition descriptors
     kf_thumb: jnp.ndarray    # (K,Ht,Wt) coarse thumbnails (loop measurement)
+    kf_mem: jnp.ndarray      # (K,) int32 memory-bank slot of each window KF
+
+    # --- long-horizon keyframe memory (M = mem_keyframes,) ---
+    # Place-recognition bank that outlives the BA window's eviction: FIFO
+    # ring of every keyframe's pose, stamp, descriptor, thumbnail, and
+    # stereo-observation snapshot. Loop closure (backend/loop_closure.py)
+    # and relocalization search this, not the K-slot window.
+    mem_T_wk: jnp.ndarray    # (M,3,4) pose at creation (BA-refreshed while
+                             # the keyframe is still in the window)
+    mem_valid: jnp.ndarray   # (M,)
+    mem_stamp: jnp.ndarray   # (M,) int32
+    mem_desc: jnp.ndarray    # (M,D)
+    mem_thumb: jnp.ndarray   # (M,Ht,Wt)
+    mem_uv: jnp.ndarray      # (M,N,2) feature snapshot (loop measurement)
+    mem_mask: jnp.ndarray    # (M,N)
+    mem_disp: jnp.ndarray    # (M,N) stereo disparity snapshot
+    mem_dmask: jnp.ndarray   # (M,N)
+    mem_next: jnp.ndarray    # () int32 FIFO pointer (total KFs created)
 
     # --- BA observation graph (K,N) ---
     obs_uv: jnp.ndarray      # (K,N,2) feature position snapshot at KF creation
@@ -131,6 +149,17 @@ def init_state(cfg: SvoConfig) -> SlamState:
         kf_stamp=jnp.zeros(K, jnp.int32),
         kf_desc=jnp.zeros((K, cfg.desc_dim), f32),
         kf_thumb=jnp.zeros((K,) + cfg.thumb_shape, f32),
+        kf_mem=jnp.zeros(K, jnp.int32),
+        mem_T_wk=jnp.tile(se3.identity()[None], (cfg.mem_keyframes, 1, 1)),
+        mem_valid=jnp.zeros(cfg.mem_keyframes, bool),
+        mem_stamp=jnp.zeros(cfg.mem_keyframes, jnp.int32),
+        mem_desc=jnp.zeros((cfg.mem_keyframes, cfg.desc_dim), f32),
+        mem_thumb=jnp.zeros((cfg.mem_keyframes,) + cfg.thumb_shape, f32),
+        mem_uv=jnp.zeros((cfg.mem_keyframes, N, 2), f32),
+        mem_mask=jnp.zeros((cfg.mem_keyframes, N), bool),
+        mem_disp=jnp.zeros((cfg.mem_keyframes, N), f32),
+        mem_dmask=jnp.zeros((cfg.mem_keyframes, N), bool),
+        mem_next=jnp.asarray(0, jnp.int32),
         obs_uv=jnp.zeros((K, N, 2), f32),
         obs_mask=jnp.zeros((K, N), bool),
         obs_disp=jnp.zeros((K, N), f32),

@@ -82,7 +82,12 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
     z = x_k[..., 2]
     good = X_mask & (z > 0.1)
     mu = jnp.where(good, 1.0 / jnp.maximum(z, 1e-3), st.mu)
-    return st._replace(kf_T_wk=kf_T_wk, mu=mu)
+    # refresh the memory-bank poses of keyframes still in the window, so
+    # loop closure / relocalization see the BA-refined estimates
+    mem_T = st.mem_T_wk.at[jnp.where(st.kf_valid, st.kf_mem,
+                                     st.mem_T_wk.shape[0])].set(
+        kf_T_wk, mode="drop")
+    return st._replace(kf_T_wk=kf_T_wk, mu=mu, mem_T_wk=mem_T)
 
 
 def _rebuild_template(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
@@ -137,9 +142,9 @@ def make_step(cfg: SvoConfig):
             # the most recent one.
             T_init_vel = se3.exp(st.vel)
             reloc, _ = loop_closure.relocalize(
-                st.kf_desc, st.kf_valid, pyr_l[cfg.num_levels - 1],
+                st.mem_desc, st.mem_valid, pyr_l[cfg.num_levels - 1],
                 cfg.loop_desc_rows, cfg.loop_desc_cols)
-            T_kf_rel = se3.compose(se3.inverse(st.kf_T_wk[reloc]),
+            T_kf_rel = se3.compose(se3.inverse(st.mem_T_wk[reloc]),
                                    se3.inverse(st.T_pw))
             T_init = jax.tree.map(
                 lambda a, b: jnp.where(st.tracking_ok, a, b),

@@ -154,6 +154,21 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     obs_dmask = state.obs_dmask.at[slot].set(
         disp_ok & consistent & (status > 0))
 
+    # --- long-horizon memory bank (FIFO ring; survives window eviction) ---
+    m = state.mem_next % cfg.mem_keyframes
+    mem = dict(
+        mem_T_wk=state.mem_T_wk.at[m].set(T_wk),
+        mem_valid=state.mem_valid.at[m].set(True),
+        mem_stamp=state.mem_stamp.at[m].set(state.frame_idx),
+        mem_desc=state.mem_desc.at[m].set(desc),
+        mem_thumb=state.mem_thumb.at[m].set(pyr_l[cfg.thumb_level]),
+        mem_uv=state.mem_uv.at[m].set(feat_uv),
+        mem_mask=state.mem_mask.at[m].set(status > 0),
+        mem_disp=state.mem_disp.at[m].set(disp_all),
+        mem_dmask=state.mem_dmask.at[m].set(disp_ok & (status > 0)),
+        mem_next=state.mem_next + 1,
+        kf_mem=state.kf_mem.at[slot].set(m))
+
     return state._replace(
         status=status, feat_uv=feat_uv, feat_level=feat_level,
         feat_corner=feat_corner, feat_dir=feat_dir, kf_id=kf_id,
@@ -163,4 +178,4 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
         kf_next=state.kf_next + 1, last_kf=slot,
         kf_stamp=kf_stamp, kf_desc=kf_desc, kf_thumb=kf_thumb,
         obs_uv=obs_uv, obs_mask=obs_mask,
-        obs_disp=obs_disp, obs_dmask=obs_dmask)
+        obs_disp=obs_disp, obs_dmask=obs_dmask, **mem)

@@ -194,6 +194,35 @@ def test_refine_trajectory_end_to_end():
     assert err1 < max(2.0 * err0, 0.05), (err0, err1, n_edges)
 
 
+def test_memory_bank_outlives_window_eviction():
+    """The place-recognition memory keeps keyframes the BA window evicts."""
+    from stereo_svo_tpu.engine import runner
+
+    cfg = dataclasses.replace(
+        CFG, grid_rows=8, grid_cols=10, max_features=80,
+        stereo_max_disp=48, kf_min_tracked=25, border_margin=10,
+        max_keyframes=3, mem_keyframes=12,
+        kf_dist_ratio=0.05)   # force a high keyframe rate
+    lefts, rights, gt = synthetic.make_sequence(cfg.camera, 20, dt=0.25,
+                                                kind="arc", seed=0)
+    svo = runner.StereoSvo(cfg)
+    for l, r in zip(lefts, rights):
+        svo.new_image(l, r)
+    st = svo.state
+    n_created = int(st.mem_next)
+    assert n_created > cfg.max_keyframes      # eviction definitely happened
+    assert int(st.mem_valid.sum()) == min(n_created, cfg.mem_keyframes)
+    # memory stamps cover keyframes no longer in the window
+    win_stamps = set(np.asarray(st.kf_stamp)[np.asarray(st.kf_valid)])
+    mem_stamps = set(np.asarray(st.mem_stamp)[np.asarray(st.mem_valid)])
+    assert win_stamps <= mem_stamps and len(mem_stamps) > len(win_stamps)
+    # BA write-back: window keyframes' memory poses track the refined ones
+    kfm = np.asarray(st.kf_mem)
+    for k in np.where(np.asarray(st.kf_valid))[0]:
+        np.testing.assert_allclose(np.asarray(st.mem_T_wk[kfm[k]]),
+                                   np.asarray(st.kf_T_wk[k]), atol=1e-5)
+
+
 def test_close_loops_fixes_drift_via_pose_graph():
     drift = [0.03, -0.02, 0.04, 0.01, -0.012, 0.008]
     (kf_T_wk, thumbs, descs, obs_uv, obs_mask, obs_disp,
