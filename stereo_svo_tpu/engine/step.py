@@ -186,9 +186,18 @@ def make_step(cfg: SvoConfig):
             T_cw, inliers, refine_stats = pose_refine.refine(
                 cam, cfg, T_cw_pred, X_w, uv_ref, tracked)
             n_inl = refine_stats["refine_inliers"]
-            ok = n_inl >= 10
+            ok = (n_inl >= 10) & jnp.all(jnp.isfinite(T_cw))
             T_cw = jax.tree.map(
                 lambda a, b: jnp.where(ok, a, b), T_cw, T_cw_pred)
+            # Failed frame: do NOT commit the diverging estimate — anchor
+            # at the relocalization keyframe instead, so the next frame's
+            # restart composes from a sane, finite pose. Without this the
+            # pose compounds garbage across consecutive failures until it
+            # reaches inf/NaN and poisons the whole state permanently
+            # (observed: poserr 15 → 54 → 8e3 → 1e9 → NaN).
+            T_cw = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b),
+                T_cw, se3.inverse(st.mem_T_wk[reloc]))
 
             # --- 4. feature bookkeeping ---
             # On a failed frame nothing is trusted: keep features alive so
@@ -226,8 +235,15 @@ def make_step(cfg: SvoConfig):
             c_cur = se3.translation(se3.inverse(T_cw))
             c_kf = se3.translation(st.kf_T_wk[st.last_kf])
             kf_dist = jnp.linalg.norm(c_cur - c_kf)
-            need_kf = ok & ((n_inl < cfg.kf_min_tracked)
-                            | (kf_dist > cfg.kf_dist_ratio * med_depth))
+            # Probation after a tracking failure: the first recovered frame
+            # may sit on a relocalized-but-imprecise pose; inserting a
+            # keyframe there anchors new seeds at a wrong pose and corrupts
+            # the map irrecoverably (observed: reloc pose 0.5 m off →
+            # cascade of bad keyframes → permanent loss). Require the
+            # PREVIOUS frame tracked too.
+            need_kf = ok & st.tracking_ok & (
+                (n_inl < cfg.kf_min_tracked)
+                | (kf_dist > cfg.kf_dist_ratio * med_depth))
 
             def _insert(s):
                 s = keyframe.insert(cfg, s, pyr_l, gxs, gys, img_r, T_cw)

@@ -144,6 +144,34 @@ def test_tracking_failure_detection_and_recovery(arc_sequence):
     assert recovered, "tracking did not recover after blackout"
 
 
+def test_blackout_poses_stay_finite_and_recovery_is_accurate():
+    """Regression: a blackout late in a loop trajectory used to cascade —
+    a keyframe inserted on the first (imprecisely relocalized) recovery
+    frame corrupted the map, subsequent failures compounded the committed
+    pose until inf/NaN poisoned the state permanently. Guards: keyframe
+    probation after failure + failed-frame anchoring at the reloc
+    keyframe + finite-pose check."""
+    cfg = CFG
+    lefts, rights, gt = synthetic.make_sequence(cfg.camera, 48, dt=0.25,
+                                                kind="loop", seed=1)
+    svo = runner.StereoSvo(cfg)
+    black = np.zeros_like(lefts[0])
+    oks = []
+    for i, (l, r) in enumerate(zip(lefts, rights)):
+        if 20 <= i < 23:
+            l, r = black, black
+        out = svo.new_image(l, r)
+        oks.append(bool(out.tracking_ok))
+    traj = svo.trajectory()
+    assert np.isfinite(traj).all(), "poses must never go non-finite"
+    assert not any(oks[20:23]), "blackout must be flagged"
+    assert all(oks[24:]), f"must stay locked after recovery: {oks[23:]}"
+    # accuracy after recovery: compare tail positions against GT with the
+    # pre-blackout alignment (recovery must re-lock to the SAME map/frame)
+    err_tail = np.linalg.norm(traj[30:, :, 3] - gt[30:, :, 3], axis=1)
+    assert err_tail.max() < 0.1, err_tail.max()
+
+
 def test_checkpoint_resume(arc_sequence, tmp_path):
     """State is one pytree: save/restore mid-sequence reproduces the run
     (SURVEY.md §5.4)."""
