@@ -6,6 +6,7 @@ This is the number that matters for the scan-based pipeline."""
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +18,11 @@ from stereo_svo_tpu.io import synthetic
 from stereo_svo_tpu.ops import align, depth_filter, klt, pyramid, stereo_match
 from stereo_svo_tpu.utils.profiling import time_fn
 
-R = 20
+# R must be large enough that the tunnel's dispatch jitter (several ms)
+# divides below the op cost being measured: at R=20 the per-op error is
+# ±0.5 ms — useless at sub-ms scale (measured: a 0.6 µs op reported as
+# 0.58 ms). 200 brings it to ±50 µs.
+R = int(os.environ.get("BENCH_AMORT_R", "200"))
 DISPATCH_MS = None  # measured below
 
 
