@@ -29,14 +29,25 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
       mask: (N,) features participating.
     Returns: (T_cw, inlier_mask, stats).
     """
-    def body(it, T):
+    def residual(T):
         x_c = se3.transform(T, X_world)                     # (N,3)
         uv_p, front = camera.project(cam, x_c)
         r = uv_p - uv_obs                                   # (N,2)
         rn = jnp.linalg.norm(r, axis=-1)
         w = jnp.where(rn <= cfg.refine_huber_px, 1.0,
                       cfg.refine_huber_px / jnp.maximum(rn, 1e-6))
-        w = w * (mask & front)
+        return x_c, r, w * (mask & front)
+
+    # Chunked IRLS (same TPU-latency rationale as ops/align.py): the exact
+    # per-iteration 6x6 Cholesky + exp chain is what the iteration's wall
+    # time is made of, not the (N,)-sized vector work. Refresh J/W/H⁻¹ a
+    # few times (taking an exact GN step each time); between refreshes the
+    # update is a Jacobian-frozen quasi-Newton matvec.
+    T = T_cw
+    chunks = max(1, min(cfg.refine_irls_chunks, cfg.refine_max_iters))
+    inner = max(cfg.refine_max_iters // chunks - 1, 0)
+    for ci in range(chunks):
+        x_c, r, w = residual(T)
         J = camera.proj_pose_jacobian(cam, x_c)             # (N,2,6)
         H = jnp.einsum("nri,n,nrj->ij", J, w, J,
                        preferred_element_type=jnp.float32)
@@ -44,10 +55,18 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
                        preferred_element_type=jnp.float32)
         H = H + 1e-8 * jnp.eye(6, dtype=H.dtype) \
             + 1e-4 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
-        delta = -solve.chol_solve_small(H, g)
-        return se3.compose(se3.exp(delta), T)
+        rhs = jnp.concatenate([jnp.eye(6, dtype=H.dtype), g[None]])
+        sol = solve.chol_solve_small(jnp.broadcast_to(H, (7, 6, 6)), rhs)
+        Hinv = sol[:6]
+        T = se3.compose(se3.exp(-sol[6]), T)
 
-    T = jax.lax.fori_loop(0, cfg.refine_max_iters, body, T_cw)
+        def body(it, T):
+            _, r, w_i = residual(T)
+            g = jnp.einsum("nri,n,nr->i", J, w_i, r,
+                           preferred_element_type=jnp.float32)
+            return se3.compose(se3.exp(-(Hinv @ g)), T)
+
+        T = jax.lax.fori_loop(0, inner, body, T)
 
     x_c = se3.transform(T, X_world)
     uv_p, front = camera.project(cam, x_c)

@@ -118,11 +118,8 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
         img = levels_cur[lv]
         ref_patch = tmpl.patches[li]                 # (N, P2)
         J = tmpl.jac[li]                             # (N, P2, 6)
-        # Precompute JᵀJ blocks can't be cached across iters because Huber
-        # weights change; the einsum below is one fused MXU contraction.
 
-        def body(it, carry):
-            T, cost, infrac = carry
+        def sample_err(T):
             p_cur = se3.transform(T, tmpl.p_ref)     # (N, 3)
             uv_c, front = camera.project(cam, p_cur, level=lv)
             pts = uv_c[:, None, :] + offs[None]      # (N, P2, 2)
@@ -131,6 +128,22 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
             e = cur - ref_patch                      # (N, P2)
             ok = (camera.in_bounds(cam, pts, level=lv, margin=1.0)
                   & front[:, None] & tmpl.mask[:, None])
+            return e, ok
+
+        # --- chunked IRLS: refresh Huber weights + H a few times per
+        # level, run cheap quasi-Newton iterations in between. The IC
+        # formulation's Hessian JᵀWJ depends on the pose only through W;
+        # each exact GN iteration is latency-bound on its serial
+        # 6x6-Cholesky + exp + compose chain (~15-20 µs on TPU, more than
+        # the whole sampling pass), so H is inverted once per chunk and
+        # inner iterations reduce to a 6x6 matvec.
+        chunks = max(1, min(cfg.align_irls_chunks, cfg.align_max_iters))
+        inner = max(cfg.align_max_iters // chunks - 1, 0)
+        for ci in range(chunks):
+            # refresh pass: weights + H⁻¹ AND an exact GN step from the
+            # same samples (7 simultaneous unrolled-Cholesky solves:
+            # columns of I plus b — LAPACK-free, ops/solve.py)
+            e, ok = sample_err(T)
             w = _huber_weight(e, cfg.align_huber) * ok
             H = jnp.einsum("npi,np,npj->ij", J, w, J,
                            preferred_element_type=jnp.float32)
@@ -138,17 +151,27 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
                            preferred_element_type=jnp.float32)
             H = H + lam * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype) \
                 + 1e-8 * jnp.eye(6, dtype=H.dtype)
-            # LAPACK-free unrolled Cholesky (ops/solve.py): fuses into the
-            # GN graph instead of a sequential LU kernel
-            delta = solve.chol_solve_small(H, b)
-            T_new = se3.compose(T, se3.inverse(se3.exp(delta)))
-            cost = jnp.sum(w * e * e) / jnp.maximum(jnp.sum(ok), 1.0)
-            infrac = (jnp.sum((jnp.abs(e) < cfg.align_huber) & ok)
-                      / jnp.maximum(jnp.sum(ok), 1.0))
-            return T_new, cost, infrac
+            rhs = jnp.concatenate([jnp.eye(6, dtype=H.dtype), b[None]])
+            sol = solve.chol_solve_small(
+                jnp.broadcast_to(H, (7, 6, 6)), rhs)
+            Hinv = sol[:6]
+            T = se3.compose(T, se3.exp(-sol[6]))
+            n_ok = jnp.maximum(jnp.sum(ok), 1.0)
 
-        T, last_cost, inlier_frac = jax.lax.fori_loop(
-            0, cfg.align_max_iters, body, (T, last_cost, inlier_frac))
+            def body(it, carry):
+                T, cost, infrac = carry
+                e, ok_i = sample_err(T)
+                b = jnp.einsum("npi,np,np->i", J, w, e,
+                               preferred_element_type=jnp.float32)
+                delta = Hinv @ b
+                T_new = se3.compose(T, se3.exp(-delta))
+                cost = jnp.sum(w * e * e) / n_ok
+                infrac = (jnp.sum((jnp.abs(e) < cfg.align_huber) & ok_i)
+                          / jnp.maximum(jnp.sum(ok_i), 1.0))
+                return T_new, cost, infrac
+
+            T, last_cost, inlier_frac = jax.lax.fori_loop(
+                0, inner, body, (T, last_cost, inlier_frac))
 
     stats = {"align_cost": last_cost, "align_inlier_frac": inlier_frac}
     return T, stats
