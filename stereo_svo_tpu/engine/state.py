@@ -141,7 +141,8 @@ def init_state(cfg: SvoConfig) -> SlamState:
             jac=jnp.zeros((Lk, N, P2k, 2), f32),
             hinv=jnp.zeros((Lk, N, 2, 2), f32),
             mask=jnp.zeros(N, bool),
-            big=jnp.zeros((Lk, N, cfg.klt_big_patch ** 2), f32)),
+            big=jnp.zeros((Lk, N, cfg.klt_big_patch ** 2), f32),
+            big_ok=jnp.zeros((Lk, N), bool)),
         kf_T_wk=jnp.tile(se3.identity()[None], (K, 1, 1)),
         kf_valid=jnp.zeros(K, bool),
         kf_next=jnp.asarray(0, jnp.int32),

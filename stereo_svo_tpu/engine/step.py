@@ -45,7 +45,9 @@ def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     s = jnp.sort(big)
     n = jnp.sum(mask)
     idx = jnp.clip((n - 1) // 2, 0, x.shape[0] - 1)
-    return s[idx]
+    # all-false mask (fully lost frame): s[idx] would be inf and flow into
+    # the keyframe-distance gating — return a benign positive depth instead
+    return jnp.where(n > 0, s[idx], jnp.asarray(1.0, s.dtype))
 
 
 def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
@@ -83,8 +85,16 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
     good = X_mask & (z > 0.1)
     mu = jnp.where(good, 1.0 / jnp.maximum(z, 1e-3), st.mu)
     # refresh the memory-bank poses of keyframes still in the window, so
-    # loop closure / relocalization see the BA-refined estimates
-    mem_T = st.mem_T_wk.at[jnp.where(st.kf_valid, st.kf_mem,
+    # loop closure / relocalization see the BA-refined estimates. Ownership
+    # gate: a window keyframe can outlive its FIFO memory slot (the bank
+    # recycles after mem_keyframes insertions while least-owned eviction
+    # keeps feature-rich window slots alive); writing through a stale
+    # kf_mem pointer would stomp a NEWER keyframe's pose while that slot's
+    # descriptor/thumbnail/stamp belong to the newer keyframe — corrupting
+    # relocalization anchors and loop-closure node poses. The slot is ours
+    # only while its stamp still matches the keyframe's creation stamp.
+    owns = st.kf_valid & (st.mem_stamp[st.kf_mem] == st.kf_stamp)
+    mem_T = st.mem_T_wk.at[jnp.where(owns, st.kf_mem,
                                      st.mem_T_wk.shape[0])].set(
         kf_T_wk, mode="drop")
     return st._replace(kf_T_wk=kf_T_wk, mu=mu, mem_T_wk=mem_T)
@@ -141,9 +151,17 @@ def make_step(cfg: SvoConfig):
             # whole bank, backend/loop_closure.relocalize), not blindly from
             # the most recent one.
             T_init_vel = se3.exp(st.vel)
-            reloc, _ = loop_closure.relocalize(
+            reloc, reloc_score = loop_closure.relocalize(
                 st.mem_desc, st.mem_valid, pyr_l[cfg.num_levels - 1],
                 cfg.loop_desc_rows, cfg.loop_desc_cols)
+            # On a textureless/blackout frame the query descriptor
+            # degenerates to ~zero: every bank entry scores ~0 and argmax
+            # returns an arbitrary (possibly distant) keyframe. Below a
+            # score floor, fall back to the most RECENT keyframe — the
+            # best prior when appearance carries no information.
+            latest = jnp.argmax(
+                jnp.where(st.mem_valid, st.mem_stamp, -1)).astype(jnp.int32)
+            reloc = jnp.where(reloc_score >= 0.3, reloc, latest)
             T_kf_rel = se3.compose(se3.inverse(st.mem_T_wk[reloc]),
                                    se3.inverse(st.T_pw))
             T_init = jax.tree.map(
@@ -170,8 +188,11 @@ def make_step(cfg: SvoConfig):
                                         st.kf_T_wk[st.kf_id])
                 A = cam_mod.affine_warp_matrix(cam, st.kf_uv, z_ref,
                                                T_ck_pred)
+                # det guard at 0.2 (not 0.05): strongly shrinking warps
+                # alias the oversized template grid; below this the
+                # fronto-parallel fallback tracks better anyway
                 det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
-                A = jnp.where((det > 0.05)[:, None, None], A,
+                A = jnp.where((det > 0.2)[:, None, None], A,
                               jnp.eye(2, dtype=A.dtype))
                 A_inv = solve.inv2x2(A)
             else:
@@ -187,8 +208,6 @@ def make_step(cfg: SvoConfig):
                 cam, cfg, T_cw_pred, X_w, uv_ref, tracked)
             n_inl = refine_stats["refine_inliers"]
             ok = (n_inl >= 10) & jnp.all(jnp.isfinite(T_cw))
-            T_cw = jax.tree.map(
-                lambda a, b: jnp.where(ok, a, b), T_cw, T_cw_pred)
             # Failed frame: do NOT commit the diverging estimate — anchor
             # at the relocalization keyframe instead, so the next frame's
             # restart composes from a sane, finite pose. Without this the

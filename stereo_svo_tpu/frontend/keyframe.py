@@ -114,7 +114,9 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
         jac=blend(state.klt_tmpl.jac, fresh.jac),
         hinv=blend(state.klt_tmpl.hinv, fresh.hinv),
         mask=jnp.where(new_rows, True, state.klt_tmpl.mask & (status > 0)),
-        big=blend(state.klt_tmpl.big, fresh.big))
+        big=blend(state.klt_tmpl.big, fresh.big),
+        big_ok=jnp.where(new_rows[None, :], fresh.big_ok,
+                         state.klt_tmpl.big_ok))
 
     # --- keyframe ring buffer ---
     T_wk = se3.inverse(T_cw)

@@ -145,6 +145,15 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
             # columns of I plus b — LAPACK-free, ops/solve.py)
             e, ok = sample_err(T)
             w = _huber_weight(e, cfg.align_huber) * ok
+            # Stats are byproducts of this sample pass. They must be
+            # computed here, not only in the inner loop: with small
+            # align_max_iters (<= 2*chunks) the inner fori_loop runs zero
+            # times and the stats would otherwise keep their 0.0 init —
+            # failing every loop_accept_frac gate despite convergence.
+            n_ok0 = jnp.maximum(jnp.sum(ok), 1.0)
+            last_cost = jnp.sum(w * e * e) / n_ok0
+            inlier_frac = (jnp.sum((jnp.abs(e) < cfg.align_huber) & ok)
+                           / n_ok0)
             H = jnp.einsum("npi,np,npj->ij", J, w, J,
                            preferred_element_type=jnp.float32)
             b = jnp.einsum("npi,np,np->i", J, w, e,

@@ -42,6 +42,9 @@ class KltTemplate(NamedTuple):
     mask: jnp.ndarray      # (N,)
     big: jnp.ndarray       # (L, N, B2) oversized patches for affine warping
                            # (B = 2·klt_patch when enabled, else B2 == 1)
+    big_ok: jnp.ndarray    # (L, N) oversized patch fully inside the level
+                           # image when stored (border-clamped samples would
+                           # otherwise corrupt the warped template)
 
 
 def make_template(levels: Sequence[jnp.ndarray],
@@ -52,7 +55,7 @@ def make_template(levels: Sequence[jnp.ndarray],
     P = cfg.klt_patch
     B = cfg.klt_big_patch
     N = uv.shape[0]
-    patches, jacs, hinvs, bigs = [], [], [], []
+    patches, jacs, hinvs, bigs, big_oks = [], [], [], [], []
     for lv in range(cfg.klt_levels):
         scale = 1.0 / (2 ** lv)
         t = interp.sample_patch(levels[lv], uv * scale, P)
@@ -69,28 +72,40 @@ def make_template(levels: Sequence[jnp.ndarray],
         jacs.append(J)
         if B > 1:
             bigs.append(interp.sample_patch(levels[lv], uv * scale, B))
+            Hh, Ww = levels[lv].shape
+            half = (B - 1) / 2.0 + 1.0   # +1: bilinear right/bottom tap
+            uv_l = uv * scale
+            big_oks.append((uv_l[:, 0] >= half) & (uv_l[:, 0] < Ww - half)
+                           & (uv_l[:, 1] >= half) & (uv_l[:, 1] < Hh - half))
         else:
             bigs.append(jnp.zeros((N, 1), t.dtype))
+            big_oks.append(jnp.zeros(N, bool))
     return KltTemplate(patches=jnp.stack(patches), jac=jnp.stack(jacs),
                        hinv=jnp.stack(hinvs), mask=mask,
-                       big=jnp.stack(bigs))
+                       big=jnp.stack(bigs), big_ok=jnp.stack(big_oks))
 
 
 def warp_template_level(big: jnp.ndarray, A_inv: jnp.ndarray, patch: int
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                   jnp.ndarray]:
     """Resample stored oversized patches through per-feature affine warps.
 
     big: (N, B²) oversized template patches (ref-frame pixel grid).
     A_inv: (N, 2, 2) maps current-frame patch offsets → ref-frame offsets.
-    Returns (patches (N,P²), jac (N,P²,2), hinv (N,2,2)) — the warped
-    template, its gradients in *current-frame* pixel coordinates (chain
-    rule through A⁻¹), and the inverse IC Hessian.
+    Returns (patches (N,P²), jac (N,P²,2), hinv (N,2,2), contained (N,)) —
+    the warped template, its gradients in *current-frame* pixel coordinates
+    (chain rule through A⁻¹), the inverse IC Hessian, and whether every
+    warped sample landed inside the stored BxB grid (a strongly shrinking
+    warp, |A_inv·offs| > (B-1)/2, would index outside it and silently
+    produce border-clamped garbage — callers must fall back to the
+    fronto-parallel template for those features).
     """
     N, B2 = big.shape
     B = int(round(B2 ** 0.5))
     imgs = big.reshape(N, B, B)
     offs = interp.patch_coords(patch, big.dtype)          # (P2, 2) cur px
     r_ref = jnp.einsum("nij,pj->npi", A_inv, offs)        # (N, P2, 2) ref px
+    contained = jnp.all(jnp.abs(r_ref) <= (B - 1) / 2.0, axis=(-2, -1))
     # big-patch index coords: grid spans offsets [-(B-1)/2, (B-1)/2]
     pts = r_ref + (B - 1) / 2.0
     val, gu, gv = jax.vmap(interp.bilinear_with_grad)(imgs, pts)
@@ -99,7 +114,7 @@ def warp_template_level(big: jnp.ndarray, A_inv: jnp.ndarray, patch: int
     H = jnp.einsum("npi,npj->nij", J, J,
                    preferred_element_type=jnp.float32)
     H = H + 1e-3 * jnp.eye(2, dtype=H.dtype)
-    return val, J, solve.inv2x2(H)
+    return val, J, solve.inv2x2(H), contained
 
 
 def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
@@ -137,7 +152,15 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
         img = levels_cur[lv]
         H, W = img.shape
         if use_warp:
-            t, J, Hinv = warp_template_level(tmpl.big[lv], A_inv, P)
+            t_w, J_w, Hinv_w, contained = warp_template_level(
+                tmpl.big[lv], A_inv, P)
+            # fall back to the stored fronto-parallel template when the
+            # warped samples leave the stored grid or the stored big patch
+            # was border-clamped at template build
+            w_ok = contained & tmpl.big_ok[lv]
+            t = jnp.where(w_ok[:, None], t_w, tmpl.patches[lv])
+            J = jnp.where(w_ok[:, None, None], J_w, tmpl.jac[lv])
+            Hinv = jnp.where(w_ok[:, None, None], Hinv_w, tmpl.hinv[lv])
         else:
             t = tmpl.patches[lv]
             J = tmpl.jac[lv]

@@ -53,9 +53,11 @@ def test_warp_template_identity_matches_stored():
     mask = jnp.ones(uv.shape[0], bool)
     tmpl = klt.make_template(pyr, gxs, gys, CFG, uv, mask)
     eye = jnp.broadcast_to(jnp.eye(2), (uv.shape[0], 2, 2))
-    val, J, Hinv = klt.warp_template_level(tmpl.big[0], eye, CFG.klt_patch)
+    val, J, Hinv, contained = klt.warp_template_level(
+        tmpl.big[0], eye, CFG.klt_patch)
     np.testing.assert_allclose(np.asarray(val), np.asarray(tmpl.patches[0]),
                                atol=0.75)
+    assert bool(np.asarray(contained).all())  # identity warp stays inside
 
 
 def _ref_view():
