@@ -29,11 +29,16 @@ import time
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
 N_CPU_FRAMES = int(os.environ.get("BENCH_CPU_FRAMES", "10"))
+# Accuracy gates (VERDICT r1 item 1): the judged metric is fps AT accuracy.
+# A regression in either must fail the bench loudly, not ride along as a
+# footnote next to a better fps number.
+ATE_GATE_M = float(os.environ.get("BENCH_ATE_GATE", "0.02"))
+TRACK_GATE = float(os.environ.get("BENCH_TRACK_GATE", "0.99"))
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "bench_results", "cpu_baseline.json")
 
 
-def _run(n_frames: int, repeats: int = 2):
+def _run(n_frames: int, repeats: int = 2, cfg=None):
     """Render a sequence and time the scan-based pipeline. Returns
     (fps, ate_rmse, n_kf)."""
     import jax
@@ -45,7 +50,7 @@ def _run(n_frames: int, repeats: int = 2):
     from stereo_svo_tpu.eval import ate
     from stereo_svo_tpu.io import synthetic
 
-    cfg = SvoConfig()
+    cfg = cfg or SvoConfig()
     cam = cfg.camera
 
     # pre-stage frames on device (rendering excluded from timing)
@@ -162,12 +167,31 @@ def main():
                           "unit": "frames/s", "vs_baseline": 1.0}))
         return
 
+    if os.environ.get("BENCH_STRESS") == "1":
+        # North-star config #3: 5-level pyramids, 2048 seeds, 752x480
+        # (config.stress_config) through the same scan runner.
+        from stereo_svo_tpu.config import stress_config
+        fps, err, n_kf, ok = _run(N_FRAMES, cfg=stress_config())
+        print(json.dumps({
+            "metric": "frames_per_s_per_chip_stress_2048seeds_5lvl_752x480",
+            "value": round(fps, 2), "unit": "frames/s",
+            "vs_baseline": None, "ate_rmse_m": round(err, 4),
+            "tracking_ok_frac": round(ok, 4), "keyframes": n_kf,
+            "n_frames": N_FRAMES}))
+        return
+
     fps, err, n_kf, ok = _run(N_FRAMES)
     fps_b, ok_b = (None, True)
     if os.environ.get("BENCH_SKIP_BATCHED") != "1":
         fps_b, ok_b = _run_batched(max(N_FRAMES // 4, 10))
     cpu_fps = _cpu_baseline()
     vs = fps / cpu_fps if cpu_fps == cpu_fps and cpu_fps > 0 else None
+    ok_all = min(ok, ok_b if fps_b else 1.0)
+    gate_fail = []
+    if err > ATE_GATE_M:
+        gate_fail.append(f"ate_rmse {err:.4f} > {ATE_GATE_M}")
+    if ok_all < TRACK_GATE:
+        gate_fail.append(f"tracking_ok {ok_all:.4f} < {TRACK_GATE}")
     print(json.dumps({
         "metric": "frames_per_s_per_chip_synthetic_euroc_752x480",
         "value": round(fps, 2),
@@ -175,13 +199,19 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "batched8_frames_per_s": round(fps_b, 2) if fps_b else None,
         "ate_rmse_m": round(err, 4),
-        "tracking_ok_frac": round(min(ok, ok_b if fps_b else 1.0), 4),
+        "tracking_ok_frac": round(ok_all, 4),
         "keyframes": n_kf,
         "n_frames": N_FRAMES,
+        "accuracy_gate": ("FAIL: " + "; ".join(gate_fail)) if gate_fail
+                         else "pass",
         "baseline_note": "vs_baseline = ratio to this same pipeline on host "
                          "CPU (provisional per BASELINE.md; reference mount "
                          "empty)",
     }))
+    if gate_fail:
+        print("ACCURACY GATE FAILED: " + "; ".join(gate_fail),
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

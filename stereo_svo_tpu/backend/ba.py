@@ -40,7 +40,7 @@ class BAStats(NamedTuple):
 def _linearize(cam: CameraConfig, cfg: SvoConfig,
                T_kw: jnp.ndarray, X: jnp.ndarray,
                obs_uv: jnp.ndarray, obs_ur: jnp.ndarray,
-               w_rows: jnp.ndarray):
+               w_rows: jnp.ndarray, obs_sig: jnp.ndarray | None = None):
     """Residuals + weighted normal-equation blocks for all (K,N) pairs.
 
     *Stereo* BA (as the reference is a stereo system): each observation
@@ -53,6 +53,9 @@ def _linearize(cam: CameraConfig, cfg: SvoConfig,
     T_kw: (K,3,4) world→KF. X: (N,3). obs_uv: (K,N,2). obs_ur: (K,N).
     w_rows: (K,N,3) per-row weight masks (row 2 = stereo row; 0 when the
     disparity was not measured).
+    obs_sig: optional (K,N) per-observation pixel noise (features detected
+    at pyramid level L localize to ~2^L px); residuals are whitened by it
+    (Huber radius and information weight both scale).
     Returns (Hpp, Hll, Hpl, gp, gl, cost).
     """
     x_c = se3.transform(T_kw[:, None], X[None])          # (K,N,3)
@@ -62,10 +65,11 @@ def _linearize(cam: CameraConfig, cfg: SvoConfig,
     r = jnp.concatenate([uv - obs_uv, (u_r - obs_ur)[..., None]],
                         axis=-1)                          # (K,N,3)
 
-    rn = jnp.sqrt(jnp.sum(r * r * (w_rows > 0), axis=-1) + 1e-12)
+    sig = jnp.ones(r.shape[:2], r.dtype) if obs_sig is None else obs_sig
+    rn = jnp.sqrt(jnp.sum(r * r * (w_rows > 0), axis=-1) + 1e-12) / sig
     huber = jnp.where(rn <= cfg.ba_huber_px, 1.0,
                       cfg.ba_huber_px / jnp.maximum(rn, 1e-6))
-    w = w_rows * (huber * front)[..., None]               # (K,N,3)
+    w = w_rows * (huber * front / (sig * sig))[..., None]  # (K,N,3)
 
     # Jacobians w.r.t. camera-frame point: left rows + right-u row.
     Jproj = cam_mod.proj_jacobian(cam, x_c)               # (K,N,2,3)
@@ -145,7 +149,7 @@ def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
                  obs_uv: jnp.ndarray, obs_ur: jnp.ndarray,
                  w_rows: jnp.ndarray,
                  fixed_mask: jnp.ndarray, lam: float = 1e-3,
-                 reduce_fn=None):
+                 reduce_fn=None, obs_sig: jnp.ndarray | None = None):
     """One damped GN step. Returns (T_kw', X', cost_before).
 
     With ``reduce_fn = partial(lax.psum, axis_name='kf')`` and
@@ -154,7 +158,7 @@ def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
     """
     K = T_kw.shape[0]
     Hpp, Hll, Hpl, gp, gl, cost = _linearize(
-        cam, cfg, T_kw, X, obs_uv, obs_ur, w_rows)
+        cam, cfg, T_kw, X, obs_uv, obs_ur, w_rows, obs_sig)
     S, rhs, Hll_inv, W = _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam,
                                        fixed_mask, reduce_fn)
     # Jacobi-preconditioned CG on the reduced camera system (SPD): fixed
@@ -188,6 +192,7 @@ def bundle_adjust(cam: CameraConfig, cfg: SvoConfig,
                   obs_uv: jnp.ndarray, obs_mask: jnp.ndarray,
                   obs_disp: jnp.ndarray | None = None,
                   obs_dmask: jnp.ndarray | None = None,
+                  obs_sig: jnp.ndarray | None = None,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, BAStats]:
     """Window BA over the keyframe ring buffer + landmark set.
 
@@ -216,12 +221,13 @@ def bundle_adjust(cam: CameraConfig, cfg: SvoConfig,
     def body(carry, _):
         T_kw, X = carry
         T_kw, X, cost = ba_iteration(cam, cfg, T_kw, X, obs_uv, obs_ur,
-                                     w_rows, fixed_mask)
+                                     w_rows, fixed_mask, obs_sig=obs_sig)
         return (T_kw, X), cost
 
     (T_kw, X), costs = jax.lax.scan(body, (T_kw, X), None,
                                     length=cfg.ba_iters)
-    *_, cost_final = _linearize(cam, cfg, T_kw, X, obs_uv, obs_ur, w_rows)
+    *_, cost_final = _linearize(cam, cfg, T_kw, X, obs_uv, obs_ur, w_rows,
+                                obs_sig)
     stats = BAStats(cost_initial=costs[0], cost_final=cost_final,
                     n_obs=jnp.sum(w_rows[..., 0] > 0))
     return se3.inverse(T_kw), X, stats

@@ -51,15 +51,24 @@ class SvoConfig:
     # --- detector / grid bucketing (ref: grid_width x grid_height) ---
     grid_rows: int = 12
     grid_cols: int = 16
+    detect_levels: int = 4         # pyramid levels scanned for corners
+                                   # (clipped to num_levels). Coarse levels
+                                   # are what keep detection alive when
+                                   # scene texture goes low-frequency in
+                                   # pixel terms (close range / defocus):
+                                   # a 30 px/cycle texture has no FAST
+                                   # corners at level 0 but plenty at 2.
     fast_threshold: float = 12.0   # intensity contrast for FAST arc test (u8 scale)
-    edgelet_threshold: float = 40.0  # gradient-magnitude threshold for edgelets
+    edgelet_threshold: float = 16.0  # gradient-magnitude threshold for edgelets
     min_score: float = 1.0         # minimum cell score to activate a feature
     border_margin: int = 16        # keep features away from image border
 
     # --- capacities (fixed; liveness via masks) ---
     max_features: int = 192        # == grid_rows * grid_cols cells by default
+                                   # (also the seed + BA-landmark capacity:
+                                   # one unified fixed-capacity feature
+                                   # array, SURVEY.md §7.0.1)
     max_keyframes: int = 10        # sliding window size (ref/north-star: 10)
-    max_seeds: int = 192           # active depth-filter seeds per keyframe
 
     # --- stereo matching (ref: DepthCalculator, search_x) ---
     stereo_max_disp: int = 96      # disparity search range in px at level 0
@@ -104,14 +113,26 @@ class SvoConfig:
     seed_sigma_ratio: float = 0.05  # convergence: sigma < ratio * depth_range
     seed_max_updates: int = 60
     px_noise: float = 1.0          # 1-px measurement noise assumption
+    # per-seed epipolar search for KLT-lost seeds (ref DepthFilter's 1-D
+    # search along the epipolar line; SURVEY.md §3.5)
+    epi_samples: int = 16          # ZNCC probes along the μ±3σ segment
+                                   # (0 disables the epipolar path)
+    epi_min_zncc: float = 0.7      # acceptance threshold on the peak
+    epi_level: int = 1             # pyramid level searched (cheaper coarse)
 
     # --- keyframe policy (ref: KeyframeInserter) ---
     kf_min_tracked: int = 60       # insert KF if tracked features drop below
     kf_dist_ratio: float = 0.12    # or translation / median scene depth above
+    kf_every: int = 1              # regular-KF cadence quantization: > 1
+                                   # restricts non-urgent insertions to
+                                   # every kf_every-th frame so batched
+                                   # sequences' insertions coincide and the
+                                   # batch-level any(need_kf) cond stays
+                                   # cold (engine/step.make_batched_step);
+                                   # a collapsing track overrides it
 
     # --- bundle adjustment (backend) ---
     use_ba: bool = True            # run window BA at each KF insertion
-    ba_max_points: int = 512       # landmark capacity in the BA problem
     ba_iters: int = 5              # GN/LM outer iterations
     ba_huber_px: float = 2.0
 
@@ -201,5 +222,4 @@ def stress_config() -> SvoConfig:
     return SvoConfig(camera=CameraConfig(),
                      num_levels=5, align_levels=4, align_min_level=1,
                      grid_rows=32, grid_cols=64, max_features=2048,
-                     max_seeds=2048, kf_min_tracked=600,
-                     klt_levels=3)
+                     kf_min_tracked=600, klt_levels=3)

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import SvoConfig
 from .state import FrameOut, SlamState, init_state
-from .step import make_step
+from .step import make_batched_step, make_step
 
 
 class StereoSvo:
@@ -82,11 +82,26 @@ def run_sequence_scan(cfg: SvoConfig, lefts: jnp.ndarray, rights: jnp.ndarray):
 
 def run_sequence_batched(cfg: SvoConfig, lefts: jnp.ndarray,
                          rights: jnp.ndarray):
-    """Multi-sequence batched odometry (config #4): vmap over sequences.
+    """Multi-sequence batched odometry (config #4).
 
-    lefts/rights: (B,T,H,W). Returns FrameOut with leading (B,T) axes.
+    lefts/rights: (B,T,H,W). Returns (final states (B,…), FrameOut with
+    leading (B,T) axes).
+
+    Structured as ``lax.scan`` over time of a batched step — NOT
+    ``vmap(scan(step))`` — so the keyframe phase runs under one
+    batch-level ``lax.cond`` (see engine/step.make_batched_step) instead
+    of decaying to a select that all sequences pay every frame.
     """
-    def one(l, r):
-        return run_sequence_scan(cfg, l, r)
+    bstep = make_batched_step(cfg)
+    B = lefts.shape[0]
+    states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
 
-    return jax.vmap(one)(lefts, rights)
+    def body(states, imgs):
+        l, r = imgs
+        states, outs = bstep(states, l, r)
+        return states, outs
+
+    states, outs = jax.lax.scan(
+        body, states, (jnp.swapaxes(lefts, 0, 1), jnp.swapaxes(rights, 0, 1)))
+    # outs leading axes are (T, B) from the scan — present as (B, T)
+    return states, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)

@@ -88,6 +88,7 @@ class SlamState(NamedTuple):
     obs_mask: jnp.ndarray    # (K,N) bool
     obs_disp: jnp.ndarray    # (K,N) stereo disparity at snapshot (BA row 3)
     obs_dmask: jnp.ndarray   # (K,N) bool — disparity measured & trusted
+    obs_sig: jnp.ndarray     # (K,N) observation px noise (2^detection level)
 
 
 class FrameOut(NamedTuple):
@@ -165,4 +166,5 @@ def init_state(cfg: SvoConfig) -> SlamState:
         obs_mask=jnp.zeros((K, N), bool),
         obs_disp=jnp.zeros((K, N), f32),
         obs_dmask=jnp.zeros((K, N), bool),
+        obs_sig=jnp.ones((K, N), f32),
     )

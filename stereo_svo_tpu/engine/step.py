@@ -15,8 +15,7 @@ sequences (north-star config #4).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +60,8 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
     X_mask = st.status == STATUS_LANDMARK
     kf_T_wk, X_new, stats = ba_mod.bundle_adjust(
         cam, cfg, st.kf_T_wk, st.kf_valid, X, X_mask,
-        st.obs_uv, st.obs_mask, st.obs_disp, st.obs_dmask)
+        st.obs_uv, st.obs_mask, st.obs_disp, st.obs_dmask,
+        obs_sig=st.obs_sig)
 
     # Divergence guards: a GN step on adversarial data (gross outliers past
     # the gates) must never corrupt the map. Accept only if (a) cost
@@ -114,36 +114,54 @@ def _rebuild_template(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     return state._replace(tmpl=tmpl)
 
 
-def make_step(cfg: SvoConfig):
-    """Build the jittable per-frame step closure for a static config."""
+class TrackCtx(NamedTuple):
+    """Per-frame tracking context threaded between the step phases."""
+    T_cw: jnp.ndarray          # (3,4) refined pose (pre-KF-BA correction)
+    ok: jnp.ndarray            # () tracking success
+    need_kf: jnp.ndarray       # () keyframe decision
+    n_inl: jnp.ndarray         # () inlier count
+    med_depth: jnp.ndarray     # () median scene depth
+    align_cost: jnp.ndarray
+    align_inlier_frac: jnp.ndarray
+    refine_rms_px: jnp.ndarray
+
+
+def make_phases(cfg: SvoConfig):
+    """The per-frame state machine split into composable phases.
+
+    ``make_step`` chains them with a per-sequence ``lax.cond`` around the
+    keyframe phase (single-sequence scan runner); ``make_batched_step``
+    vmaps each phase and gates the keyframe phase with ONE cond on
+    ``jnp.any(need_kf)`` across the batch — under plain ``vmap(step)`` the
+    cond decays to a select and every sequence pays detection+stereo+BA
+    every frame, which is exactly what capped config #4's throughput
+    (VERDICT r1 item 2).
+    """
     cam = cfg.camera
 
-    def step(state: SlamState, img_l: jnp.ndarray, img_r: jnp.ndarray
-             ) -> Tuple[SlamState, FrameOut]:
-        pyr_l, gxs, gys = pyramid.build_with_gradients(img_l, cfg.num_levels)
+    def boot(st: SlamState, pyr_l, gxs, gys, img_r):
+        """First frame: create the bootstrap keyframe (SURVEY.md §3.2)."""
+        T_cw = st.T_cw  # initial pose (identity unless caller seeded it)
+        st = keyframe.insert(cfg, st, pyr_l, gxs, gys, img_r, T_cw)
+        st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)
+        st = st._replace(T_pw=T_cw, vel=jnp.zeros(6, jnp.float32),
+                         frame_idx=st.frame_idx + 1,
+                         tracking_ok=jnp.asarray(True))
+        z = jnp.zeros((), jnp.float32)
+        out = FrameOut(
+            T_wc=se3.inverse(T_cw), tracking_ok=jnp.asarray(True),
+            kf_inserted=jnp.asarray(True),
+            n_tracked=jnp.sum(st.status > 0),
+            n_seeds=jnp.sum(st.status == STATUS_SEED),
+            n_landmarks=jnp.sum(st.status == STATUS_LANDMARK),
+            align_cost=z, align_inlier_frac=z + 1.0,
+            refine_rms_px=z,
+            median_depth=_masked_median(
+                1.0 / jnp.maximum(st.mu, 1e-4), st.status > 0))
+        return st, out
 
-        def boot(st: SlamState):
-            """First frame: create the bootstrap keyframe (SURVEY.md §3.2)."""
-            T_cw = st.T_cw  # initial pose (identity unless caller seeded it)
-            st = keyframe.insert(cfg, st, pyr_l, gxs, gys, img_r, T_cw)
-            st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)
-            st = st._replace(T_pw=T_cw, vel=jnp.zeros(6, jnp.float32),
-                             frame_idx=st.frame_idx + 1,
-                             tracking_ok=jnp.asarray(True))
-            z = jnp.zeros((), jnp.float32)
-            out = FrameOut(
-                T_wc=se3.inverse(T_cw), tracking_ok=jnp.asarray(True),
-                kf_inserted=jnp.asarray(True),
-                n_tracked=jnp.sum(st.status > 0),
-                n_seeds=jnp.sum(st.status == STATUS_SEED),
-                n_landmarks=jnp.sum(st.status == STATUS_LANDMARK),
-                align_cost=z, align_inlier_frac=z + 1.0,
-                refine_rms_px=z,
-                median_depth=_masked_median(
-                    1.0 / jnp.maximum(st.mu, 1e-4), st.status > 0))
-            return st, out
-
-        def track(st: SlamState):
+    def track_phase(st: SlamState, pyr_l, gxs, gys, img_r
+                    ) -> Tuple[SlamState, TrackCtx]:
             # --- 1. sparse direct alignment vs previous frame ---
             # Relocalization seed (SURVEY.md §5.3): after a failed frame the
             # constant-velocity prior is meaningless — restart from the
@@ -204,8 +222,12 @@ def make_step(cfg: SvoConfig):
             tracked = klt_mask & klt_ok
 
             # --- 3. motion-only pose refinement on reprojection ---
+            # per-feature noise: a feature detected at pyramid level L
+            # localizes to ~2^L px (SURVEY.md §2.1 detector row)
+            obs_sigma = jnp.exp2(st.feat_level.astype(jnp.float32))
             T_cw, inliers, refine_stats = pose_refine.refine(
-                cam, cfg, T_cw_pred, X_w, uv_ref, tracked)
+                cam, cfg, T_cw_pred, X_w, uv_ref, tracked,
+                obs_sigma=obs_sigma)
             n_inl = refine_stats["refine_inliers"]
             ok = (n_inl >= 10) & jnp.all(jnp.isfinite(T_cw))
             # Failed frame: do NOT commit the diverging estimate — anchor
@@ -232,10 +254,37 @@ def make_step(cfg: SvoConfig):
             # --- 5. recursive depth-filter updates (seeds only) ---
             T_wk_per = st.kf_T_wk[st.kf_id]
             T_ck = se3.compose(T_cw[None], T_wk_per)       # (N,3,4)
-            seeds = ok & (status == STATUS_SEED) & inliers
+            seeds_klt = ok & (status == STATUS_SEED) & inliers
+            # Seeds KLT failed on this frame still get measured: 1-D ZNCC
+            # search along the seed's epipolar segment (the reference's
+            # DepthFilter epipolar search, SURVEY.md §3.5) — without it a
+            # briefly-untrackable seed collects zero observations and dies
+            # by update budget instead of converging.
+            obs_uv_df = feat_uv
+            px_scale = obs_sigma
+            seeds = seeds_klt
+            if cfg.epi_samples > 0:
+                lv_e = min(cfg.epi_level, cfg.klt_levels - 1)
+                lost_seed = (ok & (status == STATUS_SEED)
+                             & ~(tracked & inliers) & st.klt_tmpl.mask)
+                uv_epi, epi_ok, _ = depth_filter.epipolar_search(
+                    cam, cfg, T_ck, st.kf_uv, st.mu, st.sigma2,
+                    st.klt_tmpl.patches[lv_e], pyr_l[lv_e], lost_seed,
+                    level=lv_e)
+                recovered = lost_seed & epi_ok
+                seeds = seeds_klt | recovered
+                # The epipolar hit feeds the DEPTH FILTER ONLY — never the
+                # feature's tracked position (a broad ZNCC peak on smooth
+                # texture localizes worse than KLT; letting it overwrite
+                # feat_uv measurably corrupted templates/observations).
+                obs_uv_df = jnp.where(recovered[:, None], uv_epi, feat_uv)
+                px_scale = jnp.where(
+                    recovered, jnp.maximum(obs_sigma, float(2 ** lv_e)),
+                    obs_sigma)
             upd = depth_filter.observe_and_update(
-                cam, cfg, T_ck, st.kf_uv, feat_uv,
-                st.mu, st.sigma2, st.a_beta, st.b_beta, st.z_range, seeds)
+                cam, cfg, T_ck, st.kf_uv, obs_uv_df,
+                st.mu, st.sigma2, st.a_beta, st.b_beta, st.z_range, seeds,
+                px_scale=px_scale)
             n_upd = st.n_upd + upd.updated.astype(jnp.int32)
             conv = depth_filter.converged(cfg, upd.mu, upd.sigma2)
             div = depth_filter.diverged(cfg, upd.a, upd.b, n_upd)
@@ -260,49 +309,141 @@ def make_step(cfg: SvoConfig):
             # the map irrecoverably (observed: reloc pose 0.5 m off →
             # cascade of bad keyframes → permanent loss). Require the
             # PREVIOUS frame tracked too.
-            need_kf = ok & st.tracking_ok & (
-                (n_inl < cfg.kf_min_tracked)
-                | (kf_dist > cfg.kf_dist_ratio * med_depth))
+            regular = ((n_inl < cfg.kf_min_tracked)
+                       | (kf_dist > cfg.kf_dist_ratio * med_depth))
+            if cfg.kf_every > 1:
+                # cadence quantization (batched mode): regular insertions
+                # only on every kf_every-th frame, so the batch's single
+                # any(need_kf) cond stays cold most frames. A collapsing
+                # track (half the feature budget) overrides the cadence.
+                urgent = n_inl < max(10, cfg.kf_min_tracked // 2)
+                eligible = (st.frame_idx % cfg.kf_every) == 0
+                regular = urgent | (regular & eligible)
+            need_kf = ok & st.tracking_ok & regular
 
-            def _insert(s):
-                s = keyframe.insert(cfg, s, pyr_l, gxs, gys, img_r, T_cw)
-                if cfg.use_ba:
-                    s = run_window_ba(cfg, s)
-                return s
-
-            st = jax.lax.cond(need_kf, _insert, lambda s: s, st)
-            # BA may have moved the newest keyframe (== this frame).
-            T_cw_kf = se3.inverse(st.kf_T_wk[st.last_kf])
-            T_cw = jax.tree.map(
-                lambda a, b: jnp.where(need_kf, a, b), T_cw_kf, T_cw)
-
-            # --- 7. re-anchor next frame's alignment template ---
-            st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)
-            vel = se3.log(se3.compose(T_cw, se3.inverse(st.T_pw)))
-            # damp the constant-velocity prior after a tracking failure
-            vel = jnp.where(ok, vel, 0.5 * st.vel)
-            st = st._replace(T_cw=T_cw, T_pw=T_cw, vel=vel,
-                             frame_idx=st.frame_idx + 1, tracking_ok=ok)
-
-            out = FrameOut(
-                T_wc=se3.inverse(T_cw), tracking_ok=ok, kf_inserted=need_kf,
-                n_tracked=n_inl.astype(jnp.int32),
-                n_seeds=jnp.sum(st.status == STATUS_SEED),
-                n_landmarks=jnp.sum(st.status == STATUS_LANDMARK),
+            ctx = TrackCtx(
+                T_cw=T_cw, ok=ok, need_kf=need_kf, n_inl=n_inl,
+                med_depth=med_depth,
                 align_cost=align_stats["align_cost"],
                 align_inlier_frac=align_stats["align_inlier_frac"],
-                refine_rms_px=refine_stats["refine_rms_px"],
-                median_depth=med_depth)
-            return st, out
+                refine_rms_px=refine_stats["refine_rms_px"])
+            return st, ctx
 
-        return jax.lax.cond(jnp.any(state.kf_valid), track, boot, state)
+    def kf_phase(st: SlamState, pyr_l, gxs, gys, img_r,
+                 T_cw: jnp.ndarray) -> SlamState:
+        st = keyframe.insert(cfg, st, pyr_l, gxs, gys, img_r, T_cw)
+        if cfg.use_ba:
+            st = run_window_ba(cfg, st)
+        return st
+
+    def post_phase(st: SlamState, pyr_l, gxs, gys, ctx: TrackCtx
+                   ) -> Tuple[SlamState, FrameOut]:
+        # BA may have moved the newest keyframe (== this frame).
+        T_cw_kf = se3.inverse(st.kf_T_wk[st.last_kf])
+        T_cw = jax.tree.map(
+            lambda a, b: jnp.where(ctx.need_kf, a, b), T_cw_kf, ctx.T_cw)
+
+        # --- 7. re-anchor next frame's alignment template ---
+        st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)
+        vel = se3.log(se3.compose(T_cw, se3.inverse(st.T_pw)))
+        # damp the constant-velocity prior after a tracking failure
+        vel = jnp.where(ctx.ok, vel, 0.5 * st.vel)
+        st = st._replace(T_cw=T_cw, T_pw=T_cw, vel=vel,
+                         frame_idx=st.frame_idx + 1, tracking_ok=ctx.ok)
+
+        out = FrameOut(
+            T_wc=se3.inverse(T_cw), tracking_ok=ctx.ok,
+            kf_inserted=ctx.need_kf,
+            n_tracked=ctx.n_inl.astype(jnp.int32),
+            n_seeds=jnp.sum(st.status == STATUS_SEED),
+            n_landmarks=jnp.sum(st.status == STATUS_LANDMARK),
+            align_cost=ctx.align_cost,
+            align_inlier_frac=ctx.align_inlier_frac,
+            refine_rms_px=ctx.refine_rms_px,
+            median_depth=ctx.med_depth)
+        return st, out
+
+    return boot, track_phase, kf_phase, post_phase
+
+
+def make_step(cfg: SvoConfig):
+    """Build the jittable per-frame step closure for a static config."""
+    boot, track_phase, kf_phase, post_phase = make_phases(cfg)
+
+    def step(state: SlamState, img_l: jnp.ndarray, img_r: jnp.ndarray
+             ) -> Tuple[SlamState, FrameOut]:
+        pyr_l, gxs, gys = pyramid.build_with_gradients(img_l, cfg.num_levels)
+
+        def do_boot(st):
+            return boot(st, pyr_l, gxs, gys, img_r)
+
+        def do_track(st):
+            st, ctx = track_phase(st, pyr_l, gxs, gys, img_r)
+            st = jax.lax.cond(
+                ctx.need_kf,
+                lambda s: kf_phase(s, pyr_l, gxs, gys, img_r, ctx.T_cw),
+                lambda s: s, st)
+            return post_phase(st, pyr_l, gxs, gys, ctx)
+
+        return jax.lax.cond(jnp.any(state.kf_valid), do_track, do_boot,
+                            state)
 
     return step
+
+
+def make_batched_step(cfg: SvoConfig):
+    """Per-frame step over a batch of sequences (north-star config #4).
+
+    Unlike ``vmap(make_step(cfg))`` — where the keyframe ``lax.cond``
+    decays to a ``select`` and all sequences pay detection+stereo+BA every
+    frame — the keyframe phase here sits under ONE batch-level cond on
+    ``jnp.any(need_kf)``: frames where no sequence wants a keyframe skip
+    that work entirely. Combine with ``cfg.kf_every > 1`` to keep the cond
+    cold on most frames (per-sequence insertions quantize to a shared
+    cadence, so they coincide instead of scattering across frames).
+    """
+    boot, track_phase, kf_phase, post_phase = make_phases(cfg)
+
+    def bcast(m, like):
+        return m.reshape(m.shape + (1,) * (like.ndim - 1))
+
+    def bstep(states: SlamState, img_l: jnp.ndarray, img_r: jnp.ndarray
+              ) -> Tuple[SlamState, FrameOut]:
+        pyr_l, gxs, gys = jax.vmap(
+            lambda im: pyramid.build_with_gradients(im, cfg.num_levels)
+        )(img_l)
+
+        sts, ctx = jax.vmap(track_phase)(states, pyr_l, gxs, gys, img_r)
+
+        def do_kf(sts):
+            sts_i = jax.vmap(kf_phase)(sts, pyr_l, gxs, gys, img_r,
+                                       ctx.T_cw)
+            return jax.tree.map(
+                lambda a, b: jnp.where(bcast(ctx.need_kf, a), a, b),
+                sts_i, sts)
+
+        sts = jax.lax.cond(jnp.any(ctx.need_kf), do_kf, lambda s: s, sts)
+        sts, outs = jax.vmap(post_phase)(sts, pyr_l, gxs, gys, ctx)
+
+        # Bootstrap (first frame of a sequence) under its own rare cond.
+        is_boot = ~jnp.any(states.kf_valid, axis=-1)
+
+        def do_boot(args):
+            sts_t, outs_t = args
+            sts_b, outs_b = jax.vmap(boot)(states, pyr_l, gxs, gys, img_r)
+            pick = lambda a, b: jnp.where(bcast(is_boot, a), a, b)
+            return (jax.tree.map(pick, sts_b, sts_t),
+                    jax.tree.map(pick, outs_b, outs_t))
+
+        return jax.lax.cond(jnp.any(is_boot), do_boot, lambda a: a,
+                            (sts, outs))
+
+    return bstep
 
 
 def make_jitted_step(cfg: SvoConfig):
     return jax.jit(make_step(cfg), donate_argnums=(0,))
 
 
-__all__ = ["make_step", "make_jitted_step", "init_state", "world_points",
-           "SlamState", "FrameOut"]
+__all__ = ["make_step", "make_batched_step", "make_jitted_step",
+           "init_state", "world_points", "SlamState", "FrameOut"]

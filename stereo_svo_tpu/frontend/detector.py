@@ -9,9 +9,10 @@ always exactly ``grid_rows*grid_cols`` candidate slots with a validity
 mask — the fixed-capacity translation of the reference's dynamic keypoint
 vector (SURVEY.md §7.0.1).
 
-Corners are detected on the first two pyramid levels (a feature keeps the
-level it was detected on, as in SVO); edgelets on level 0 only. A corner
-always outranks an edgelet in the same cell.
+Corners are detected on ``cfg.detect_levels`` pyramid levels (a feature
+keeps the level it was detected on, as in SVO — the level feeds the pose
+refiner's and depth filter's per-feature measurement noise); edgelets on
+level 0 only. A corner always outranks an edgelet in the same cell.
 """
 
 from __future__ import annotations
@@ -71,18 +72,27 @@ def detect(levels: Sequence[jnp.ndarray], gx0: jnp.ndarray, gy0: jnp.ndarray,
         keypoint).
     """
     rows, cols = cfg.grid_rows, cfg.grid_cols
-    n_detect_levels = min(2, cfg.num_levels)
+    n_detect_levels = min(cfg.detect_levels, cfg.num_levels)
 
     best_score = None
     best_uv = None
     best_level = None
     for lv in range(n_detect_levels):
         img = levels[lv]
+        if img.shape[0] < rows or img.shape[1] < cols:
+            break  # level coarser than the bucketing grid (static check)
         margin = max(4, cfg.border_margin // (2 ** lv))
         cs = fast.corner_score(img) * _border_mask(img.shape, margin, img.dtype)
         cs = jnp.where(cs > cfg.fast_threshold, cs, 0.0)
         val, uv = _cell_max(cs, rows, cols)
-        uv = uv * (2 ** lv)  # report at level-0 coords
+        # prefer fine levels: a coarse corner localizes to ~2^lv px, so it
+        # should win a cell only when finer levels have nothing comparable
+        # (close range / low-frequency texture), not on raw score ties
+        val = val * (0.5 ** lv)
+        # level-0 coords: under reshape-mean downsampling, level-lv pixel x
+        # covers level-0 pixels [x·2^lv, (x+1)·2^lv) — its center is at
+        # x·2^lv + (2^lv−1)/2 (a 3.5 px bias at level 3 if ignored)
+        uv = uv * (2 ** lv) + (2 ** lv - 1) / 2.0
         if best_score is None:
             best_score, best_uv = val, uv
             best_level = jnp.zeros_like(val, dtype=jnp.int32)

@@ -83,7 +83,8 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     dst = jnp.where(assign, free_order, N)            # OOB drop when unused
     src = cand_order
 
-    mu0, s20, a0, b0 = depth_filter.seed_from_stereo(cam, cfg, z0)
+    mu0, s20, a0, b0 = depth_filter.seed_from_stereo(
+        cam, cfg, z0, px_scale=jnp.exp2(det.level.astype(jnp.float32)))
 
     def put(arr, vals):
         return arr.at[dst].set(vals[src], mode="drop")
@@ -155,6 +156,8 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     obs_disp = state.obs_disp.at[slot].set(disp_all)
     obs_dmask = state.obs_dmask.at[slot].set(
         disp_ok & consistent & (status > 0))
+    obs_sig = state.obs_sig.at[slot].set(
+        jnp.exp2(feat_level.astype(jnp.float32)))
 
     # --- long-horizon memory bank (FIFO ring; survives window eviction) ---
     m = state.mem_next % cfg.mem_keyframes
@@ -180,4 +183,4 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
         kf_next=state.kf_next + 1, last_kf=slot,
         kf_stamp=kf_stamp, kf_desc=kf_desc, kf_thumb=kf_thumb,
         obs_uv=obs_uv, obs_mask=obs_mask,
-        obs_disp=obs_disp, obs_dmask=obs_dmask, **mem)
+        obs_disp=obs_disp, obs_dmask=obs_dmask, obs_sig=obs_sig, **mem)

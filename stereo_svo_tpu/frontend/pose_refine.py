@@ -21,22 +21,33 @@ from ..ops import solve
 
 def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
            X_world: jnp.ndarray, uv_obs: jnp.ndarray,
-           mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+           mask: jnp.ndarray, obs_sigma: jnp.ndarray | None = None
+           ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Refine T_cw so that projected landmarks match observed positions.
 
     Args:
       X_world: (N, 3) landmark positions; uv_obs: (N, 2) observations.
       mask: (N,) features participating.
+      obs_sigma: optional (N,) per-feature measurement noise in px — a
+        feature detected/tracked at pyramid level L carries ~2^L px noise
+        (the reference keeps features at their detection level; SURVEY.md
+        §2.1 detector row). Residuals are whitened by it: the Huber
+        threshold, the information weight (1/σ²), and the outlier gate
+        all scale with σ.
     Returns: (T_cw, inlier_mask, stats).
     """
+    sig = jnp.ones(X_world.shape[0], jnp.float32) if obs_sigma is None \
+        else obs_sigma
+    inv_s2 = 1.0 / (sig * sig)
+
     def residual(T):
         x_c = se3.transform(T, X_world)                     # (N,3)
         uv_p, front = camera.project(cam, x_c)
         r = uv_p - uv_obs                                   # (N,2)
-        rn = jnp.linalg.norm(r, axis=-1)
+        rn = jnp.linalg.norm(r, axis=-1) / sig              # whitened
         w = jnp.where(rn <= cfg.refine_huber_px, 1.0,
                       cfg.refine_huber_px / jnp.maximum(rn, 1e-6))
-        return x_c, r, w * (mask & front)
+        return x_c, r, w * inv_s2 * (mask & front)
 
     # Chunked IRLS (same TPU-latency rationale as ops/align.py): the exact
     # per-iteration 6x6 Cholesky + exp chain is what the iteration's wall
@@ -71,7 +82,7 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
     x_c = se3.transform(T, X_world)
     uv_p, front = camera.project(cam, x_c)
     err = jnp.linalg.norm(uv_p - uv_obs, axis=-1)
-    inliers = mask & front & (err < cfg.refine_outlier_px)
+    inliers = mask & front & (err < cfg.refine_outlier_px * sig)
     stats = {
         "refine_rms_px": jnp.sqrt(
             jnp.sum(jnp.where(inliers, err * err, 0.0))

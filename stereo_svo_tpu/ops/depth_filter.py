@@ -25,7 +25,9 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 from ..config import CameraConfig, SvoConfig
+from ..geometry import camera as cam_mod
 from ..geometry import se3, triangulate
+from . import interp
 
 
 class SeedUpdate(NamedTuple):
@@ -36,14 +38,17 @@ class SeedUpdate(NamedTuple):
     updated: jnp.ndarray   # (N,) bool — observation accepted and applied
 
 
-def seed_from_stereo(cam: CameraConfig, cfg: SvoConfig, z0: jnp.ndarray):
+def seed_from_stereo(cam: CameraConfig, cfg: SvoConfig, z0: jnp.ndarray,
+                     px_scale: jnp.ndarray | None = None):
     """Initialize (mu, sigma2, a, b) from stereo-triangulated depth z0.
 
     Inverse-depth measurement noise from 1-px disparity noise:
-    d(1/z)/d(disp) = 1/(fx·baseline).
+    d(1/z)/d(disp) = 1/(fx·baseline). px_scale: optional per-seed noise
+    multiplier (2^detection_level).
     """
     mu = 1.0 / jnp.maximum(z0, 1e-3)
-    tau_inv = cfg.px_noise / (cam.fx * cam.baseline)
+    noise = cfg.px_noise if px_scale is None else cfg.px_noise * px_scale
+    tau_inv = noise / (cam.fx * cam.baseline)
     sigma2 = (3.0 * tau_inv) ** 2 * jnp.ones_like(mu)
     a = 10.0 * jnp.ones_like(mu)
     b = 10.0 * jnp.ones_like(mu)
@@ -127,12 +132,15 @@ def observe_and_update(cam: CameraConfig, cfg: SvoConfig,
                        mu: jnp.ndarray, sigma2: jnp.ndarray,
                        a: jnp.ndarray, b: jnp.ndarray,
                        z_range: jnp.ndarray,
-                       active: jnp.ndarray) -> SeedUpdate:
+                       active: jnp.ndarray,
+                       px_scale: jnp.ndarray | None = None) -> SeedUpdate:
     """Full per-frame seed update: triangulate the tracked observation
     against the owner keyframe, derive tau, update the posterior.
 
     T_ck: (N,3,4) per-seed pose mapping owner-KF points → current camera.
     kf_uv: (N,2) anchor pixel in owner KF; cur_uv: (N,2) tracked position.
+    px_scale: optional (N,) multiplier on cfg.px_noise — a seed detected at
+    pyramid level L carries ~2^L px measurement noise.
     """
     f_ref = jnp.concatenate([
         (kf_uv[:, 0:1] - cam.cx) / cam.fx,
@@ -149,7 +157,8 @@ def observe_and_update(cam: CameraConfig, cfg: SvoConfig,
     T_kc = se3.inverse(T_ck)
     f_unit = f_ref / jnp.linalg.norm(f_ref, axis=-1, keepdims=True)
     z_unit = z_obs * jnp.linalg.norm(f_ref, axis=-1)      # depth along unit ray
-    px_error_angle = jnp.arctan(cfg.px_noise / (2.0 * cam.fx)) * 2.0
+    noise_px = cfg.px_noise if px_scale is None else cfg.px_noise * px_scale
+    px_error_angle = jnp.arctan(noise_px / (2.0 * cam.fx)) * 2.0
     tau = compute_tau(T_kc, f_unit, z_unit, px_error_angle)
     tau = jnp.maximum(tau, 1e-6)
     z_lo = jnp.maximum(z_unit - tau, 1e-3)
@@ -159,6 +168,92 @@ def observe_and_update(cam: CameraConfig, cfg: SvoConfig,
     x_obs = 1.0 / jnp.maximum(z_obs, 1e-3)
     apply_mask = active & tri_ok & (z_obs > 0.05)
     return update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range, apply_mask)
+
+
+def epipolar_search(cam: CameraConfig, cfg: SvoConfig,
+                    T_ck: jnp.ndarray, kf_uv: jnp.ndarray,
+                    mu: jnp.ndarray, sigma2: jnp.ndarray,
+                    tmpl_patch: jnp.ndarray, img: jnp.ndarray,
+                    active: jnp.ndarray, level: int = 0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched 1-D epipolar search for seeds the tracker lost this frame.
+
+    Reference parity: DepthFilter's per-seed epipolar-line search in the new
+    frame (SURVEY.md §3.5: "epipolar search for the seed's patch in new
+    frame (1-D along epipolar line)") — the path that keeps a seed observed
+    when KLT fails on it, instead of letting it starve to death on its
+    update budget. The reference scans pixel-by-pixel per seed; here the
+    whole seed array is searched at once: the posterior μ±3σ inverse-depth
+    interval projects to a segment in the current image, ``epi_samples``
+    ZNCC probes cover it in one batched patch-sampling einsum (MXU), and a
+    parabola over the correlation peak gives the sub-sample position.
+
+    Args:
+      T_ck: (N,3,4) owner-KF → current-camera poses.
+      kf_uv: (N,2) level-0 anchor pixels in the owner keyframe.
+      mu, sigma2: inverse-depth posterior (defines the search interval).
+      tmpl_patch: (N,P²) reference patches at ``level`` (the stored KLT
+        template of the seed's anchor — its photometric identity).
+      img: current image at ``level``.
+      active: (N,) seeds to search.
+      level: pyramid level to search at (coarser = cheaper; the returned
+        position is level-0, measurement noise scales as 2^level).
+    Returns:
+      uv: (N,2) level-0 matched positions.
+      ok: (N,) bool — peak found, interior, above cfg.epi_min_zncc, and
+        probe spacing fine enough to not step over the peak.
+      score: (N,) best ZNCC (diagnostic).
+    """
+    N = kf_uv.shape[0]
+    S = cfg.epi_samples
+    P = int(round(tmpl_patch.shape[-1] ** 0.5))
+    scale = 1.0 / (2 ** level)
+
+    sd = jnp.sqrt(jnp.maximum(sigma2, 1e-12))
+    x_hi = mu + 3.0 * sd                       # nearest plausible (inv depth)
+    x_lo = jnp.maximum(mu - 3.0 * sd, 1e-4)    # farthest plausible
+    z_near = 1.0 / x_hi
+    z_far = 1.0 / x_lo
+    p_near = cam_mod.backproject(cam, kf_uv, z_near)
+    p_far = cam_mod.backproject(cam, kf_uv, z_far)
+    uv_a, front_a = cam_mod.project(cam, se3.transform(T_ck, p_near))
+    uv_b, front_b = cam_mod.project(cam, se3.transform(T_ck, p_far))
+
+    t = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)          # (S,)
+    uv_s = uv_a[:, None] + t[None, :, None] * (uv_b - uv_a)[:, None]  # (N,S,2)
+    cur = interp.sample_patch(img, uv_s.reshape(N * S, 2) * scale,
+                              P).reshape(N, S, P * P)
+
+    def znorm(p):
+        p = p - jnp.mean(p, axis=-1, keepdims=True)
+        return p / jnp.maximum(
+            jnp.sqrt(jnp.sum(p * p, axis=-1, keepdims=True)), 1e-6)
+
+    scores = jnp.einsum("np,nsp->ns", znorm(tmpl_patch), znorm(cur))
+    best = jnp.argmax(scores, axis=1)
+    s_best = jnp.take_along_axis(scores, best[:, None], 1)[:, 0]
+    bm = jnp.clip(best - 1, 0, S - 1)
+    bp = jnp.clip(best + 1, 0, S - 1)
+    s0 = jnp.take_along_axis(scores, bm[:, None], 1)[:, 0]
+    s2 = jnp.take_along_axis(scores, bp[:, None], 1)[:, 0]
+    denom = s0 - 2.0 * s_best + s2
+    off = jnp.where(jnp.abs(denom) > 1e-6,
+                    0.5 * (s0 - s2) / jnp.where(jnp.abs(denom) > 1e-6,
+                                                denom, 1.0), 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    tt = (best.astype(jnp.float32) + off) / (S - 1)
+    uv = uv_a + tt[:, None] * (uv_b - uv_a)
+
+    seg = jnp.linalg.norm(uv_b - uv_a, axis=-1)
+    spacing_ok = seg * scale / (S - 1) <= 0.75 * P  # probes overlap the peak
+    interior = (best > 0) & (best < S - 1)
+    in_img = cam_mod.in_bounds(cam, uv, margin=P * (2 ** level))
+    # prominence gate: a flat correlation ridge (smooth texture along the
+    # epipolar line) localizes arbitrarily — require a real peak
+    prominent = s_best - 0.5 * (s0 + s2) > 0.01
+    ok = (active & front_a & front_b & interior & in_img & spacing_ok
+          & prominent & (s_best > cfg.epi_min_zncc))
+    return uv, ok, s_best
 
 
 def converged(cfg: SvoConfig, mu: jnp.ndarray, sigma2: jnp.ndarray

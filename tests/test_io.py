@@ -154,3 +154,46 @@ def test_euroc_sensor_yaml_rectification(tmp_path):
     r = np.zeros((480, 752), np.float32)
     lr, rr = rect(l, r)
     assert lr.shape == (480, 752)
+
+
+def test_video_frames_side_by_side_and_two_file(tmp_path):
+    """video_frames: side-by-side single stream and two-stream variants."""
+    rng = np.random.default_rng(3)
+    h, w, n = 48, 64, 4
+    frames_l = rng.uniform(0, 255, (n, h, w)).astype(np.uint8)
+    frames_r = rng.uniform(0, 255, (n, h, w)).astype(np.uint8)
+
+    fourcc = cv2.VideoWriter_fourcc(*"MJPG")
+
+    def write_video(path, frames):
+        vw = cv2.VideoWriter(path, fourcc, 10.0,
+                             (frames.shape[2], frames.shape[1]))
+        assert vw.isOpened(), "cv2 VideoWriter backend unavailable"
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+        vw.release()
+
+    # side-by-side stream
+    sbs = np.concatenate([frames_l, frames_r], axis=2)
+    p_sbs = str(tmp_path / "sbs.avi")
+    write_video(p_sbs, sbs)
+    got = list(datasets.video_frames(p_sbs))
+    assert len(got) == n
+    l0, r0, t0 = got[0]
+    assert l0.shape == (h, w) and r0.shape == (h, w) and t0 == 0.0
+    # MJPG is lossy; content must still correlate with the source
+    assert np.corrcoef(l0.reshape(-1), frames_l[0].reshape(-1))[0, 1] > 0.9
+    assert np.corrcoef(r0.reshape(-1), frames_r[0].reshape(-1))[0, 1] > 0.9
+    # timestamps follow the encoded fps
+    assert abs(got[1][2] - 0.1) < 1e-6
+
+    # two-file variant
+    p_l = str(tmp_path / "l.avi")
+    p_r = str(tmp_path / "r.avi")
+    write_video(p_l, frames_l)
+    write_video(p_r, frames_r)
+    got2 = list(datasets.video_frames(p_l, p_r))
+    assert len(got2) == n
+    assert got2[2][0].shape == (h, w)
+    assert np.corrcoef(got2[2][1].reshape(-1),
+                       frames_r[2].reshape(-1))[0, 1] > 0.9

