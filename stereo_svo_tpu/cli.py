@@ -28,21 +28,23 @@ from .io import calib, datasets, synthetic, trajectory
 
 
 def _frame_source(args, cfg):
+    """Returns (cfg, frame iterator, gt poses or None)."""
     if args.dataset == "euroc":
         rect = None
         if args.cam0_yaml and args.cam1_yaml:
             cfg, rect = calib.euroc_rectified_config(
                 args.cam0_yaml, args.cam1_yaml, base=cfg)
-        return cfg, datasets.euroc_frames(args.root, rect)
+        return cfg, datasets.euroc_frames(args.root, rect), None
     if args.dataset == "kitti":
-        return cfg, datasets.kitti_frames(args.root, args.seq)
+        return cfg, datasets.kitti_frames(args.root, args.seq), None
     if args.dataset == "video":
-        return cfg, datasets.video_frames(args.root, args.right)
+        return cfg, datasets.video_frames(args.root, args.right), None
     if args.dataset == "synthetic":
         lefts, rights, gts = synthetic.make_sequence(
-            cfg.camera, args.frames, kind="arc", seed=args.seed)
+            cfg.camera, args.frames, kind="arc", seed=args.seed,
+            scene_kind=args.scene, perturb=args.perturb)
         src = ((lefts[i], rights[i], i * 0.1) for i in range(args.frames))
-        return cfg, src
+        return cfg, src, gts
     raise ValueError(args.dataset)
 
 
@@ -61,6 +63,11 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene", default="planes", choices=["planes", "clutter"],
+                   help="synthetic scene geometry")
+    p.add_argument("--perturb", action="store_true",
+                   help="synthetic: apply photometric nuisance model "
+                        "(exposure gain/bias, vignette, sensor noise)")
     p.add_argument("--metrics-out", help="write per-frame metrics JSON")
     p.add_argument("--loop-closure", action="store_true",
                    help="after the run, detect appearance-based loop "
@@ -77,7 +84,7 @@ def main(argv=None):
     if args.calib:
         cfg = calib.load_flat_yaml(args.calib, base=cfg)
 
-    cfg, frames = _frame_source(args, cfg)
+    cfg, frames, gt_poses = _frame_source(args, cfg)
     svo = StereoSvo(cfg)
 
     timestamps = []
@@ -120,6 +127,13 @@ def main(argv=None):
         "loop_edges": n_loop_edges,
         "out": args.out,
     }
+    if gt_poses is not None and n > 1:
+        gt = np.asarray(gt_poses)[:n]
+        summary["ate_rmse_m"] = float(ate_mod.ate_rmse(
+            ate_mod.positions(traj), ate_mod.positions(gt)))
+        rpe_t, rpe_r = ate_mod.rpe(traj, gt)
+        summary["rpe_t_m"] = float(rpe_t)
+        summary["rpe_r_rad"] = float(rpe_r)
     if args.metrics_out:
         with open(args.metrics_out, "w") as f:
             json.dump({k: np.asarray(v).tolist() for k, v in

@@ -91,6 +91,17 @@ class SvoConfig:
                                    # 433 fps @ 0.0167 exact — parity.
                                    # align_max_iters → exact classic IRLS.
 
+    illum_affine: bool = True      # photometric affine compensation:
+                                   # the aligner estimates a global gain/
+                                   # bias (closed form, per Huber refresh)
+                                   # and KLT removes a per-feature affine
+                                   # fit — robustness to auto-exposure,
+                                   # vignetting, and lighting drift, which
+                                   # raw brightness-constancy residuals
+                                   # cannot absorb (DSO-style; the
+                                   # reference's plain SSD residuals lose
+                                   # tracking under exposure steps)
+
     # --- KLT feature alignment (ref: OpticalFlow) ---
     klt_patch: int = 8             # inverse-compositional LK window
     klt_max_iters: int = 6
@@ -160,10 +171,20 @@ class SvoConfig:
     mem_keyframes: int = 48        # long-horizon place-recognition memory:
                                    # every keyframe's descriptor/thumbnail/
                                    # pose/stereo snapshot outlives the BA
-                                   # window's eviction in a FIFO ring of
-                                   # this capacity (loop closure and
+                                   # window's eviction in a bank of this
+                                   # capacity (loop closure and
                                    # relocalization search this bank, not
                                    # just the max_keyframes window)
+    mem_retention: str = "coverage"  # bank eviction policy when full:
+                                   # "coverage" evicts the slot whose
+                                   # removal least widens the retained
+                                   # temporal coverage (keeps ~uniformly
+                                   # thinned history → revisits after
+                                   # thousands of frames still find a
+                                   # nearby retained keyframe, KITTI-00
+                                   # scale loops with a fixed-size bank);
+                                   # "fifo" is the plain ring (horizon =
+                                   # mem_keyframes · KF-interval frames)
 
     # --- numerics ---
     dtype: str = "float32"         # image/compute dtype ("float32"|"bfloat16")

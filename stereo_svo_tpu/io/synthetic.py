@@ -64,6 +64,44 @@ class Plane(NamedTuple):
     e2: jnp.ndarray       # (3,)
 
 
+class Sphere(NamedTuple):
+    center: jnp.ndarray   # (3,) world-frame center
+    radius: jnp.ndarray   # scalar
+    e1: jnp.ndarray       # (3,) texture projection basis
+    e2: jnp.ndarray       # (3,)
+
+
+def _intersect(prim, o: jnp.ndarray, rays_w: jnp.ndarray):
+    """Ray-primitive intersection for x = o + s·rays_w.
+
+    rays_w are camera rays with unit z in the camera frame, so the ray
+    parameter s *is* the camera-frame z-depth for every primitive type.
+    Returns (s, hit, p1, p2): depth, hit mask, and texture coordinates.
+    """
+    if isinstance(prim, Plane):
+        n, d = prim.normal, prim.d
+        denom = jnp.einsum("...i,i->...", rays_w, n)
+        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        s = (d - jnp.dot(n, o)) / denom
+        hit = s > 0.1
+    elif isinstance(prim, Sphere):
+        oc = o - prim.center
+        a = jnp.einsum("...i,...i->...", rays_w, rays_w)
+        b = 2.0 * jnp.einsum("...i,i->...", rays_w, oc)
+        c0 = jnp.dot(oc, oc) - prim.radius ** 2
+        disc = b * b - 4.0 * a * c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        s = (-b - sq) / (2.0 * a)            # near intersection
+        hit = (disc > 0.0) & (s > 0.1)
+        s = jnp.where(hit, s, 1e9)
+    else:
+        raise TypeError(type(prim))
+    x = o + s[..., None] * rays_w
+    p1 = jnp.einsum("...i,i->...", x, prim.e1)
+    p2 = jnp.einsum("...i,i->...", x, prim.e2)
+    return s, hit, p1, p2
+
+
 def default_scene(seed: int = 0):
     """Two tilted textured planes in front of the camera (z forward).
 
@@ -82,6 +120,86 @@ def default_scene(seed: int = 0):
     pB = Plane(jnp.asarray(nB), jnp.asarray(np.dot(nB, [0, 0, 14.0]), np.float32),
                jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
     return (pA, pB), (_texture_params(seed), _texture_params(seed + 1))
+
+
+def cluttered_scene(seed: int = 0, n_spheres: int = 6):
+    """Non-planar scene: backdrop + ground plane + textured spheres.
+
+    Spheres at mixed depths create real parallax layers and, critically,
+    **occlusion**: features on a near sphere's silhouette see the backdrop
+    appear/disappear behind them as the camera moves — the geometry class
+    the planar `default_scene` cannot produce (VERDICT r1 missing #1;
+    SURVEY.md §4.2.2 "rendered planes/point clouds").
+    """
+    def unit(v):
+        v = np.asarray(v, np.float32)
+        return v / np.linalg.norm(v)
+
+    rng = np.random.default_rng(1000 + seed)
+    prims = []
+    # far backdrop so every ray hits texture
+    nB = unit([0.0, 0.0, -1.0])
+    prims.append(Plane(jnp.asarray(nB),
+                       jnp.asarray(np.dot(nB, [0, 0, 16.0]), np.float32),
+                       jnp.asarray([1.0, 0.0, 0.0]),
+                       jnp.asarray([0.0, 1.0, 0.0])))
+    # ground plane below the camera (y is down in the camera frame)
+    nG = unit([0.02, -1.0, -0.05])
+    prims.append(Plane(jnp.asarray(nG),
+                       jnp.asarray(np.dot(nG, [0, 1.8, 0]), np.float32),
+                       jnp.asarray(unit(np.cross(nG, [0, 0, 1.0]))),
+                       jnp.asarray(unit(np.cross(nG,
+                                                 np.cross(nG, [0, 0, 1.0]))))))
+    # spheres: z past the trajectory's forward reach (camera advances ~2 m)
+    for k in range(n_spheres):
+        c = np.asarray([rng.uniform(-2.2, 2.2), rng.uniform(-1.0, 1.2),
+                        rng.uniform(4.5, 9.0)], np.float32)
+        r = np.float32(rng.uniform(0.45, 1.0))
+        ang = rng.uniform(0, 2 * math.pi)
+        e1 = unit([math.cos(ang), math.sin(ang), 0.3])
+        e2 = unit(np.cross(e1, [0.2, 1.0, 0.1]))
+        prims.append(Sphere(jnp.asarray(c), jnp.asarray(r),
+                            jnp.asarray(e1), jnp.asarray(e2)))
+    texs = tuple(_texture_params(seed + 10 * k) for k in range(len(prims)))
+    return tuple(prims), texs
+
+
+def get_scene(kind: str, seed: int = 0):
+    """Scene factory: 'planes' (default two-plane) or 'clutter'."""
+    if kind in ("planes", "default"):
+        return default_scene(seed)
+    if kind == "clutter":
+        return cluttered_scene(seed)
+    raise ValueError(kind)
+
+
+def perturb_stereo(left: jnp.ndarray, right: jnp.ndarray, key,
+                   gain_jitter: float = 0.15, bias_jitter: float = 12.0,
+                   noise_sigma: float = 2.0, vignette: float = 0.30):
+    """Photometric nuisance model (SURVEY.md §4.2.3 hardening):
+
+    - per-frame global exposure: gain ~ U(1±gain_jitter), bias ~ U(±bias
+      _jitter), shared by both eyes (auto-exposure acts on the pair);
+    - static lens vignetting: multiplicative 1 - v·(r/r_max)²;
+    - per-pixel iid Gaussian sensor noise, independent per eye.
+
+    Jittable; pass a fresh PRNG key per frame. Output clipped to [0, 255].
+    """
+    kg, kb, kl, kr = jax.random.split(key, 4)
+    g = 1.0 + gain_jitter * (2.0 * jax.random.uniform(kg) - 1.0)
+    b = bias_jitter * (2.0 * jax.random.uniform(kb) - 1.0)
+    H, W = left.shape
+    u = (jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2) / (W / 2)
+    v = (jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2) / (W / 2)
+    r2 = u[None, :] ** 2 + v[:, None] ** 2
+    vig = 1.0 - vignette * r2 / jnp.max(r2)
+
+    def apply(img, k):
+        out = vig * (g * img + b)
+        out = out + noise_sigma * jax.random.normal(k, img.shape)
+        return jnp.clip(out, 0.0, 255.0)
+
+    return apply(left, kl), apply(right, kr)
 
 
 def render_view(cam: CameraConfig, T_wc: jnp.ndarray, scene) -> jnp.ndarray:
@@ -104,17 +222,10 @@ def render_view(cam: CameraConfig, T_wc: jnp.ndarray, scene) -> jnp.ndarray:
 
     img = jnp.zeros((H, W), jnp.float32)
     depth = jnp.full((H, W), jnp.inf, jnp.float32)
-    for plane, tex in zip(planes, textures):
-        n, d = plane.normal, plane.d
-        denom = jnp.einsum("hwi,i->hw", rays_w, n)
-        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-        s = (d - jnp.dot(n, o)) / denom              # ray parameter
-        hit = s > 0.1
-        x = o + s[..., None] * rays_w                # world intersection
-        p1 = jnp.einsum("hwi,i->hw", x, plane.e1)
-        p2 = jnp.einsum("hwi,i->hw", x, plane.e2)
+    for prim, tex in zip(planes, textures):
+        s, hit, p1, p2 = _intersect(prim, o, rays_w)
         val = _texture(p1, p2, tex)
-        closer = hit & (s < depth)
+        closer = hit & (s < depth)                   # z-buffer → occlusion
         img = jnp.where(closer, val, img)
         depth = jnp.where(closer, s, depth)
     return img
@@ -130,13 +241,9 @@ def gt_depth(cam: CameraConfig, T_wc: jnp.ndarray, uv: jnp.ndarray, scene):
     o = se3.translation(T_wc)
     rays_w = jnp.einsum("ij,...j->...i", R, rays_c)
     best = jnp.full(uv.shape[:-1], jnp.inf, jnp.float32)
-    for plane in planes:
-        n, d = plane.normal, plane.d
-        denom = jnp.einsum("...i,i->...", rays_w, n)
-        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-        s = (d - jnp.dot(n, o)) / denom
-        s = jnp.where(s > 0.1, s, jnp.inf)
-        best = jnp.minimum(best, s)
+    for prim in planes:
+        s, hit, _, _ = _intersect(prim, o, rays_w)
+        best = jnp.minimum(best, jnp.where(hit, s, jnp.inf))
     # rays have unit z in the camera frame → ray parameter == z-depth
     return best
 
@@ -186,17 +293,25 @@ def trajectory_pose(t: jnp.ndarray, kind: str = "arc") -> jnp.ndarray:
 
 
 def make_sequence(cam: CameraConfig, n_frames: int, dt: float = 0.1,
-                  kind: str = "arc", seed: int = 0):
+                  kind: str = "arc", seed: int = 0,
+                  scene_kind: str = "planes", perturb: bool = False):
     """Render a full sequence on host: (lefts, rights, gt_T_wc).
 
-    Returns numpy arrays: (N,H,W), (N,H,W), (N,3,4).
+    Returns numpy arrays: (N,H,W), (N,H,W), (N,3,4). ``scene_kind``
+    selects the geometry (`get_scene`); ``perturb=True`` applies the
+    photometric nuisance model per frame (`perturb_stereo`).
     """
-    scene = default_scene(seed)
+    scene = get_scene(scene_kind, seed)
     render = jax.jit(lambda T: render_stereo(cam, T, scene))
+    pert = jax.jit(perturb_stereo)
+    key = jax.random.PRNGKey(seed)
     lefts, rights, poses = [], [], []
     for i in range(n_frames):
         T = trajectory_pose(jnp.asarray(i * dt, jnp.float32), kind)
         l, r = render(T)
+        if perturb:
+            key, sub = jax.random.split(key)
+            l, r = pert(l, r, sub)
         lefts.append(np.asarray(l))
         rights.append(np.asarray(r))
         poses.append(np.asarray(T))

@@ -119,16 +119,15 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
         ref_patch = tmpl.patches[li]                 # (N, P2)
         J = tmpl.jac[li]                             # (N, P2, 6)
 
-        def sample_err(T):
+        def sample_cur(T):
             p_cur = se3.transform(T, tmpl.p_ref)     # (N, 3)
             uv_c, front = camera.project(cam, p_cur, level=lv)
             pts = uv_c[:, None, :] + offs[None]      # (N, P2, 2)
             cur = interp.sample_patch(
                 img, uv_c, P, compute_dtype=_cdtype(cfg))  # (N, P2)
-            e = cur - ref_patch                      # (N, P2)
             ok = (camera.in_bounds(cam, pts, level=lv, margin=1.0)
                   & front[:, None] & tmpl.mask[:, None])
-            return e, ok
+            return cur, ok
 
         # --- chunked IRLS: refresh Huber weights + H a few times per
         # level, run cheap quasi-Newton iterations in between. The IC
@@ -143,7 +142,25 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
             # refresh pass: weights + H⁻¹ AND an exact GN step from the
             # same samples (7 simultaneous unrolled-Cholesky solves:
             # columns of I plus b — LAPACK-free, ops/solve.py)
-            e, ok = sample_err(T)
+            cur, ok = sample_cur(T)
+            if cfg.illum_affine:
+                # Global affine illumination I_cur ≈ a·I_ref + b, closed
+                # form over the masked samples. Exposure gain/bias between
+                # consecutive frames otherwise violates brightness
+                # constancy and collapses the inlier set. The effective
+                # template becomes a·ref+b, whose IC Jacobian is a·J — the
+                # exact GN step is the nominal one scaled by 1/a.
+                sw = jnp.maximum(jnp.sum(ok), 1.0)
+                m_ref = jnp.sum(ref_patch * ok) / sw
+                m_cur = jnp.sum(cur * ok) / sw
+                cov = jnp.sum((cur - m_cur) * (ref_patch - m_ref) * ok) / sw
+                var = jnp.sum((ref_patch - m_ref) ** 2 * ok) / sw
+                a_il = jnp.clip(cov / jnp.maximum(var, 1e-3), 0.5, 2.0)
+                b_il = m_cur - a_il * m_ref
+            else:
+                a_il = jnp.asarray(1.0, jnp.float32)
+                b_il = jnp.asarray(0.0, jnp.float32)
+            e = cur - (a_il * ref_patch + b_il)
             w = _huber_weight(e, cfg.align_huber) * ok
             # Stats are byproducts of this sample pass. They must be
             # computed here, not only in the inner loop: with small
@@ -164,15 +181,16 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
             sol = solve.chol_solve_small(
                 jnp.broadcast_to(H, (7, 6, 6)), rhs)
             Hinv = sol[:6]
-            T = se3.compose(T, se3.exp(-sol[6]))
+            T = se3.compose(T, se3.exp(-sol[6] / a_il))
             n_ok = jnp.maximum(jnp.sum(ok), 1.0)
 
             def body(it, carry):
                 T, cost, infrac = carry
-                e, ok_i = sample_err(T)
+                cur_i, ok_i = sample_cur(T)
+                e = cur_i - (a_il * ref_patch + b_il)
                 b = jnp.einsum("npi,np,np->i", J, w, e,
                                preferred_element_type=jnp.float32)
-                delta = Hinv @ b
+                delta = Hinv @ b / a_il
                 T_new = se3.compose(T, se3.exp(-delta))
                 cost = jnp.sum(w * e * e) / n_ok
                 infrac = (jnp.sum((jnp.abs(e) < cfg.align_huber) & ok_i)

@@ -173,10 +173,37 @@ def track(levels_cur: Sequence[jnp.ndarray], tmpl: KltTemplate,
                 img, uv * scale, P,
                 compute_dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
                 else None)
-            e = cur - t                                      # (N, P2)
+            if cfg.illum_affine:
+                # Per-feature affine fit cur ≈ a·t + b (closed form over
+                # the patch): absorbs exposure change AND the spatially-
+                # varying vignette/shading drift between the owner
+                # keyframe and the current frame. Effective template
+                # a·(t-mean) has Jacobian a·J → exact step = nominal / a.
+                # CORNERS ONLY: on 1-D structure (edgelets) the fit is
+                # degenerate — a sub-pixel edge shift is photometrically
+                # near-indistinguishable from a gain/bias change over the
+                # patch, so compensation absorbs real displacement signal
+                # and KLT stalls short of the true position (measured:
+                # 1.7 px short on a 3 px sigmoid-edge shift). Edgelets
+                # keep the raw brightness-constancy residual.
+                mc = jnp.mean(cur, -1, keepdims=True)
+                mt = jnp.mean(t, -1, keepdims=True)
+                cov = jnp.mean((cur - mc) * (t - mt), -1, keepdims=True)
+                var = jnp.mean((t - mt) ** 2, -1, keepdims=True)
+                a_fit = jnp.clip(cov / jnp.maximum(var, 1e-3), 0.6, 1.6)
+                e_fit = (cur - mc) - a_fit * (t - mt)        # (N, P2)
+                if is_edgelet is not None:
+                    edge = is_edgelet[:, None]
+                    a_il = jnp.where(edge, 1.0, a_fit)
+                    e = jnp.where(edge, cur - t, e_fit)
+                else:
+                    a_il, e = a_fit, e_fit
+            else:
+                a_il = jnp.ones((uv.shape[0], 1), jnp.float32)
+                e = cur - t                                  # (N, P2)
             g = jnp.einsum("npi,np->ni", J, e,
                            preferred_element_type=jnp.float32)
-            delta = jnp.einsum("nij,nj->ni", Hinv, g)        # level-lv px
+            delta = jnp.einsum("nij,nj->ni", Hinv, g) / a_il  # level-lv px
             if edge_dir is not None and is_edgelet is not None:
                 # 1-DoF constraint: project the update onto the gradient
                 # normal for edgelet features

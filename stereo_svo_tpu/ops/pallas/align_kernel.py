@@ -115,45 +115,71 @@ def sample_patches(img: jnp.ndarray, uv: jnp.ndarray, P: int,
     return out.reshape(N, P * P)
 
 
-def _acc_add(acc, row, col, val):
-    """acc (8,128) register array += val at (row, col) — Mosaic cannot
-    store scalars to VMEM, so updates are masked vector selects on the
-    loop-carried accumulator."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
-    return acc + jnp.where((rows == row) & (cols == col), val, 0.0)
-
-
 def _gn_kernel(iu_ref, iv_ref, fr_ref, img_ref, tmpl_ref, jac_ref, w_ref,
                out_ref, *, P, huber_k):
     """Accumulate H (6,6), b (6), cost, n_eff over all features.
 
-    tmpl_ref: (N,P,P); jac_ref: (6,N,P,P); out: (8,128)
-    (rows 0-5 → H, row 6 → b, row 7 → [cost, n_eff])."""
+    tmpl_ref: (N,P,P); jac_ref: (N,P,6P) — each feature's six (P,P)
+    Jacobian planes packed side-by-side in ONE 2-D slab so the in-kernel
+    access is a leading-axis dynamic index + static column slices. (The
+    previous (6,N,P,P) layout needed a 4-D mid-axis dynamic index, which
+    the hardware Mosaic lowering miscompiled — H off ~20% — while passing
+    interpret mode; ROADMAP r1 #3.) out: (8,128) — rows 0-5 → H, row 6 →
+    b, row 7 → [cost, n_eff].
+
+    Accumulation is a 29-scalar fori_loop carry (21 unique H entries + 6 b
+    + cost + n_eff): scalar adds, instead of 29 masked selects over the
+    full (8,128) accumulator per feature — both the compile-time and the
+    VPU work of the old scheme scaled with 1024 lanes per update.
+    """
     N = tmpl_ref.shape[0]
 
-    def body(i, acc):
+    def body(i, carry):
+        h_acc, b_acc, cost, n_eff = carry
         win = _extract_window(img_ref, iv_ref[i], iu_ref[i], P)
         patch = _bilinear_window(win, fr_ref[i, 0], fr_ref[i, 1], P)
         e = patch - tmpl_ref[i, :, :]                       # (P,P)
         a = jnp.abs(e)
         w = jnp.where(a <= huber_k, 1.0, huber_k / jnp.maximum(a, 1e-6))
         w = w * w_ref[i]
-        Js = [jac_ref[k, i, :, :] for k in range(6)]        # 6 x (P,P)
+        slab = jac_ref[i, :, :]                             # (P, 6P)
+        Js = [slab[:, k * P:(k + 1) * P] for k in range(6)]
         we = w * e
+        b_new = tuple(b_acc[k] + jnp.sum(Js[k] * we) for k in range(6))
+        h_new = []
+        m = 0
         for k in range(6):
-            acc = _acc_add(acc, 6, k, jnp.sum(Js[k] * we))
+            Jw = Js[k] * w
             for l in range(k, 6):
-                h = jnp.sum(Js[k] * w * Js[l])
-                acc = _acc_add(acc, k, l, h)
-                if l != k:
-                    acc = _acc_add(acc, l, k, h)
-        acc = _acc_add(acc, 7, 0, jnp.sum(w * e * e))
-        acc = _acc_add(acc, 7, 1, w_ref[i])
-        return acc
+                h_new.append(h_acc[m] + jnp.sum(Jw * Js[l]))
+                m += 1
+        return (tuple(h_new), b_new, cost + jnp.sum(we * e),
+                n_eff + w_ref[i])
 
-    acc0 = jnp.zeros(out_ref.shape, jnp.float32)
-    out_ref[:, :] = jax.lax.fori_loop(0, N, body, acc0)
+    zero = jnp.asarray(0.0, jnp.float32)
+    h_acc, b_acc, cost, n_eff = jax.lax.fori_loop(
+        0, N, body, ((zero,) * 21, (zero,) * 6, zero, zero))
+
+    # write the packed result: one masked select per scalar, once total
+    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+
+    def put(acc, r, c, val):
+        return jnp.where((rows == r) & (cols == c), val, acc)
+
+    m = 0
+    for k in range(6):
+        for l in range(k, 6):
+            acc = put(acc, k, l, h_acc[m])
+            if l != k:
+                acc = put(acc, l, k, h_acc[m])
+            m += 1
+    for k in range(6):
+        acc = put(acc, 6, k, b_acc[k])
+    acc = put(acc, 7, 0, cost)
+    acc = put(acc, 7, 1, n_eff)
+    out_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("P", "huber_k", "interpret"))
@@ -169,7 +195,10 @@ def gn_accumulate(img: jnp.ndarray, uv: jnp.ndarray, tmpl: jnp.ndarray,
     iu, iv, du, dv = _prep_indices(img.shape, uv, P)
     fr = jnp.stack([du, dv], axis=-1)
     tmpl2 = tmpl.reshape(N, P, P)
-    jac2 = jnp.transpose(jac, (2, 0, 1)).reshape(6, N, P, P)
+    # (N,P²,6) → (N,P,6P): feature i's Jacobian plane k lives at
+    # [i, :, kP:(k+1)P] — 2-D slab per feature, no 4-D dynamic indexing
+    jac2 = jnp.transpose(jac.reshape(N, P, P, 6),
+                         (0, 1, 3, 2)).reshape(N, P, 6 * P)
     out = pl.pallas_call(
         functools.partial(_gn_kernel, P=P, huber_k=huber_k),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),

@@ -22,6 +22,19 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast tier: ``pytest -m quick`` = everything not marked slow.
+
+    The compile-heavy e2e modules dominate the ~19-min full-suite wall time
+    (VERDICT r1 weak #8); iterate on the quick tier, run the full suite
+    before committing engine-level changes.
+    """
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

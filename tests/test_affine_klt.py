@@ -16,6 +16,9 @@ from stereo_svo_tpu.geometry import camera as cam_mod
 from stereo_svo_tpu.geometry import se3
 from stereo_svo_tpu.io import synthetic
 from stereo_svo_tpu.ops import klt, pyramid, solve
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
 
 CAM = CameraConfig(fx=200.0, fy=200.0, cx=128.0, cy=96.0,
                    baseline=0.11, width=256, height=192)

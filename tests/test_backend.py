@@ -10,6 +10,9 @@ from stereo_svo_tpu.config import CameraConfig, SvoConfig
 from stereo_svo_tpu.geometry import camera as cam_mod
 from stereo_svo_tpu.geometry import se3
 from stereo_svo_tpu.parallel import dist_ba, mesh as mesh_mod
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
 
 CAM = CameraConfig(fx=300.0, fy=300.0, cx=188.0, cy=120.0, baseline=0.11,
                    width=376, height=240)

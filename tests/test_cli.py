@@ -11,6 +11,8 @@ from stereo_svo_tpu.config import CameraConfig, SvoConfig
 from stereo_svo_tpu.engine import runner
 from stereo_svo_tpu.io import synthetic
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
+
 
 def test_cli_synthetic_run(tmp_path, capsys, monkeypatch):
     out = tmp_path / "traj.tum"

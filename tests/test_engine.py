@@ -11,6 +11,8 @@ from stereo_svo_tpu.eval import ate
 from stereo_svo_tpu.geometry import se3
 from stereo_svo_tpu.io import synthetic
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
+
 # Small image for CPU CI speed; bench uses full 752x480 on TPU.
 CFG = SvoConfig(
     camera=CameraConfig(fx=240.0, fy=240.0, cx=188.0, cy=120.0,

@@ -18,6 +18,8 @@ from stereo_svo_tpu.geometry import se3
 from stereo_svo_tpu.io import synthetic
 from stereo_svo_tpu.ops import pyramid
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
+
 CAM = CameraConfig(fx=200.0, fy=200.0, cx=128.0, cy=96.0,
                    baseline=0.11, width=256, height=192)
 CFG = SvoConfig(camera=CAM, num_levels=3, align_levels=3,

@@ -13,6 +13,8 @@ from stereo_svo_tpu.geometry import se3
 from stereo_svo_tpu.io import synthetic
 from stereo_svo_tpu.parallel import mapping, mesh as mesh_mod
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
+
 CFG = SvoConfig(
     camera=CameraConfig(fx=160.0, fy=160.0, cx=94.0, cy=60.0,
                         baseline=0.11, width=188, height=120),

@@ -9,6 +9,9 @@ import numpy as np
 
 from stereo_svo_tpu.ops import interp, pyramid
 from stereo_svo_tpu.ops.pallas import align_kernel, pyramid_kernel
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
 
 RNG = np.random.default_rng(13)
 INTERPRET = jax.default_backend() != "tpu"
@@ -43,18 +46,24 @@ def test_pallas_gn_accumulate_parity():
     H, b, cost, n_eff = align_kernel.gn_accumulate(
         img, uv, tmpl, jac, w, P, k, interpret=INTERPRET)
 
-    cur = interp.sample_patch(img, uv, P, method="gather")
-    e = cur - tmpl
-    a = jnp.abs(e)
-    wk = jnp.where(a <= k, 1.0, k / jnp.maximum(a, 1e-6)) * w[:, None]
-    H_o = jnp.einsum("npi,np,npj->ij", jac, wk, jac)
-    b_o = jnp.einsum("npi,np,np->i", jac, wk, e)
-    cost_o = jnp.sum(wk * e * e)
+    # float64 numpy oracle: on TPU the XLA einsum alternative runs the MXU
+    # at bf16 input precision and is LESS accurate than the kernel (its H
+    # comes out visibly asymmetric); comparing kernel-vs-einsum conflates
+    # the two error sources. The kernel itself uses HIGHEST-precision dots
+    # + f32 VPU accumulation and matches f64 to ~1e-5.
+    cur = np.asarray(interp.sample_patch(img, uv, P,
+                                         method="gather")).astype(np.float64)
+    e = cur - np.asarray(tmpl, np.float64)
+    a = np.abs(e)
+    wk = np.where(a <= k, 1.0, k / np.maximum(a, 1e-6)) \
+        * np.asarray(w)[:, None]
+    jac64 = np.asarray(jac, np.float64)
+    H_o = np.einsum("npi,np,npj->ij", jac64, wk, jac64)
+    b_o = np.einsum("npi,np,np->i", jac64, wk, e)
+    cost_o = np.sum(wk * e * e)
 
-    np.testing.assert_allclose(np.asarray(H), np.asarray(H_o),
-                               rtol=1e-4, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(b), np.asarray(b_o),
-                               rtol=1e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(H), H_o, rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(b), b_o, rtol=2e-4, atol=5e-2)
     np.testing.assert_allclose(float(cost), float(cost_o), rtol=1e-4)
     assert float(n_eff) == float(jnp.sum(w))
 

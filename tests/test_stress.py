@@ -7,6 +7,9 @@ import numpy as np
 from stereo_svo_tpu.config import CameraConfig, SvoConfig, stress_config
 from stereo_svo_tpu.engine import runner
 from stereo_svo_tpu.io import synthetic
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
 
 
 def test_stress_config_shape():

@@ -9,6 +9,9 @@ from stereo_svo_tpu.frontend import detector, pose_refine
 from stereo_svo_tpu.geometry import camera, se3
 from stereo_svo_tpu.io import synthetic
 from stereo_svo_tpu.ops import depth_filter, klt, pyramid
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e tier
 
 CFG = SvoConfig()
 CAM = CFG.camera
