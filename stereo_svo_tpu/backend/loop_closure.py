@@ -52,21 +52,47 @@ from . import pose_graph
 def descriptor(img: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     """Tiny-thumbnail global descriptor of a (coarse) image level.
 
-    Average-pools onto a (rows, cols) grid, removes mean, L2-normalizes.
-    Returns (rows*cols,) f32 with ||d|| = 1; dot(d_a, d_b) == ZNCC of the
-    pooled thumbnails (affine-lighting invariant).
+    Average-pools onto a (rows, cols) cell grid (the centered sub-grid of
+    a (rows+2, cols+2) pooling — see ``shifted_descriptors``), removes
+    mean, L2-normalizes. Returns (rows*cols,) f32 with ||d|| = 1;
+    dot(d_a, d_b) == ZNCC of the pooled thumbnails (affine-lighting
+    invariant). Matching against a bank takes the max over the query's
+    shifted variants for cell-sized viewpoint tolerance.
     """
-    H, W = img.shape
-    ch, cw = H // rows, W // cols
-    x = img[: rows * ch, : cols * cw].astype(jnp.float32)
-    pooled = x.reshape(rows, ch, cols, cw).mean(axis=(1, 3)).reshape(-1)
-    pooled = pooled - jnp.mean(pooled)
-    return pooled / jnp.maximum(jnp.linalg.norm(pooled), 1e-6)
+    return shifted_descriptors(img, rows, cols)[4]
 
 
 def similarity(desc: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
     """(D,) query vs (K, D) bank → (K,) ZNCC scores in [-1, 1]."""
     return bank @ desc
+
+
+def shifted_descriptors(img: jnp.ndarray, rows: int, cols: int
+                        ) -> jnp.ndarray:
+    """(9, rows·cols) descriptors of ±1-cell-shifted pooling grids.
+
+    Viewpoint tolerance (ROADMAP r1 #6): a lateral/vertical camera offset
+    at revisit translates the thumbnail, which plain pooled-ZNCC punishes.
+    Pooling a (rows+2, cols+2) grid and extracting the 9 aligned
+    (rows, cols) sub-grids gives cell-sized shift variants (~1/cols of
+    the image width each); matching takes the max score over shifts —
+    one matmul per shift, still vocabulary-free.
+
+    Index 4 (center) equals ``descriptor(img, rows, cols)`` up to the
+    cell-size rounding of the cropped pooling region.
+    """
+    H, W = img.shape
+    R, C = rows + 2, cols + 2
+    ch, cw = H // R, W // C
+    x = img[: R * ch, : C * cw].astype(jnp.float32)
+    grid = x.reshape(R, ch, C, cw).mean(axis=(1, 3))        # (R, C)
+    outs = []
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            sub = grid[dy:dy + rows, dx:dx + cols].reshape(-1)
+            sub = sub - jnp.mean(sub)
+            outs.append(sub / jnp.maximum(jnp.linalg.norm(sub), 1e-6))
+    return jnp.stack(outs)
 
 
 def relocalize(kf_desc: jnp.ndarray, kf_valid: jnp.ndarray,
@@ -80,8 +106,9 @@ def relocalize(kf_desc: jnp.ndarray, kf_valid: jnp.ndarray,
     most recent one. Returns (slot, score); invalid slots score -2 (below
     the ZNCC floor of -1).
     """
-    d = descriptor(coarse_img, rows, cols)
-    scores = jnp.where(kf_valid, kf_desc @ d, -2.0)
+    ds = shifted_descriptors(coarse_img, rows, cols)      # (9, D)
+    scores = jnp.max(kf_desc @ ds.T, axis=-1)             # shift-tolerant
+    scores = jnp.where(kf_valid, scores, -2.0)
     return jnp.argmax(scores).astype(jnp.int32), jnp.max(scores)
 
 
@@ -93,7 +120,8 @@ class LoopProposals(NamedTuple):
 
 def propose_edges(desc: jnp.ndarray, valid: jnp.ndarray,
                   stamp: jnp.ndarray, seq: jnp.ndarray,
-                  min_score: float, min_gap: int, max_edges: int
+                  min_score: float, min_gap: int, max_edges: int,
+                  desc_shift: jnp.ndarray | None = None
                   ) -> LoopProposals:
     """Top-``max_edges`` loop candidates from the descriptor bank.
 
@@ -102,9 +130,17 @@ def propose_edges(desc: jnp.ndarray, valid: jnp.ndarray,
       valid: (K,) keyframe validity.
       stamp: (K,) int32 frame index at keyframe creation (temporal order).
       seq: (K,) int32 sequence id (global map); pass zeros for one sequence.
+      desc_shift: optional (K, 9, D) shifted descriptor variants
+        (``shifted_descriptors`` of each keyframe's thumbnail); pairwise
+        similarity becomes max over shifts — cell-sized viewpoint
+        tolerance (shifting one side covers both directions).
     """
     K = desc.shape[0]
-    S = desc @ desc.T                                    # (K, K)
+    if desc_shift is not None:
+        S = jnp.max(jnp.einsum("kd,msd->kms", desc, desc_shift), axis=-1)
+        S = jnp.maximum(S, S.T)                          # symmetrize
+    else:
+        S = desc @ desc.T                                # (K, K)
     i = jnp.arange(K)
     pair_ok = (valid[:, None] & valid[None, :]
                & (i[:, None] < i[None, :]))              # upper triangle

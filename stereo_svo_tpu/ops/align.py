@@ -114,10 +114,18 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
     last_cost = jnp.asarray(0.0, jnp.float32)
     inlier_frac = jnp.asarray(0.0, jnp.float32)
 
-    for li, lv in enumerate(_level_list(cfg)):
+    lvl_list = _level_list(cfg)
+    schedule = cfg.align_iters_per_level
+    if schedule is not None and len(schedule) != len(lvl_list):
+        raise ValueError("align_iters_per_level length must equal the "
+                         "number of align levels")
+
+    for li, lv in enumerate(lvl_list):
         img = levels_cur[lv]
         ref_patch = tmpl.patches[li]                 # (N, P2)
         J = tmpl.jac[li]                             # (N, P2, 6)
+        iters_l = schedule[li] if schedule is not None \
+            else cfg.align_max_iters
 
         def sample_cur(T):
             p_cur = se3.transform(T, tmpl.p_ref)     # (N, 3)
@@ -136,8 +144,8 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
         # 6x6-Cholesky + exp + compose chain (~15-20 µs on TPU, more than
         # the whole sampling pass), so H is inverted once per chunk and
         # inner iterations reduce to a 6x6 matvec.
-        chunks = max(1, min(cfg.align_irls_chunks, cfg.align_max_iters))
-        inner = max(cfg.align_max_iters // chunks - 1, 0)
+        chunks = max(1, min(cfg.align_irls_chunks, iters_l))
+        inner = max(iters_l // chunks - 1, 0)
         for ci in range(chunks):
             # refresh pass: weights + H⁻¹ AND an exact GN step from the
             # same samples (7 simultaneous unrolled-Cholesky solves:
