@@ -58,8 +58,19 @@ def descriptor(img: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     dot(d_a, d_b) == ZNCC of the pooled thumbnails (affine-lighting
     invariant). Matching against a bank takes the max over the query's
     shifted variants for cell-sized viewpoint tolerance.
+
+    Equals ``shifted_descriptors(img, rows, cols)[4]`` exactly, computed
+    directly (the insert path needs only the center variant; building all
+    nine would be 9x the normalization work — advisor r2 finding #5).
     """
-    return shifted_descriptors(img, rows, cols)[4]
+    H, W = img.shape
+    R, C = rows + 2, cols + 2
+    ch, cw = H // R, W // C
+    x = img[: R * ch, : C * cw].astype(jnp.float32)
+    grid = x.reshape(R, ch, C, cw).mean(axis=(1, 3))
+    sub = grid[1:1 + rows, 1:1 + cols].reshape(-1)
+    sub = sub - jnp.mean(sub)
+    return sub / jnp.maximum(jnp.linalg.norm(sub), 1e-6)
 
 
 def similarity(desc: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
@@ -170,7 +181,11 @@ def _thumb_cfg(cfg: SvoConfig) -> Tuple[CameraConfig, SvoConfig]:
     cfg_t = dataclasses.replace(
         cfg, camera=cam_t, num_levels=1, align_levels=1, align_min_level=0,
         klt_levels=1, align_patch=cfg.loop_patch,
-        align_max_iters=cfg.loop_align_iters)
+        align_max_iters=cfg.loop_align_iters,
+        # the thumbnail aligner is single-level: a per-level iteration
+        # schedule sized for the main config would fail align()'s length
+        # check (advisor r2 finding #1)
+        align_iters_per_level=None)
     return cam_t, cfg_t
 
 

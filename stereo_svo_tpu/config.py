@@ -176,6 +176,13 @@ class SvoConfig:
                                    # a true revisit with ~10° view change
                                    # scores ~0.68, unrelated views <0.4.
     loop_min_gap: int = 20         # min |frame stamp| separation (same seq)
+    reloc_min_score: float = 0.3   # descriptor-score floor for accepting
+                                   # the appearance-nearest keyframe as the
+                                   # relocalization seed; below it (e.g. a
+                                   # textureless/blackout query, whose
+                                   # descriptor degenerates to ~zero and
+                                   # scores every bank entry ~0) fall back
+                                   # to the most recent keyframe
     loop_max_edges: int = 8        # fixed loop-edge capacity (masked)
     loop_accept_frac: float = 0.6  # min photometric inlier frac to accept
     mem_keyframes: int = 48        # long-horizon place-recognition memory:

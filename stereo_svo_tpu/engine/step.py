@@ -174,12 +174,13 @@ def make_phases(cfg: SvoConfig):
                 cfg.loop_desc_rows, cfg.loop_desc_cols)
             # On a textureless/blackout frame the query descriptor
             # degenerates to ~zero: every bank entry scores ~0 and argmax
-            # returns an arbitrary (possibly distant) keyframe. Below a
+            # returns an arbitrary (possibly distant) keyframe. Below the
             # score floor, fall back to the most RECENT keyframe — the
             # best prior when appearance carries no information.
             latest = jnp.argmax(
                 jnp.where(st.mem_valid, st.mem_stamp, -1)).astype(jnp.int32)
-            reloc = jnp.where(reloc_score >= 0.3, reloc, latest)
+            reloc = jnp.where(reloc_score >= cfg.reloc_min_score,
+                              reloc, latest)
             T_kf_rel = se3.compose(se3.inverse(st.mem_T_wk[reloc]),
                                    se3.inverse(st.T_pw))
             T_init = jax.tree.map(

@@ -65,6 +65,14 @@ def mem_coverage_slot(mem_valid: jnp.ndarray, mem_stamp: jnp.ndarray,
                             loss_sorted)
     loss = jnp.zeros(M, jnp.float32).at[order].set(loss_sorted)
     loss = jnp.where(protected, jnp.inf, loss)
+    # Degenerate bank (protected slots + the two temporal anchors cover
+    # everything, possible when mem_keyframes <= max_keyframes + 2): every
+    # loss is +inf and argmin would silently evict slot 0 — possibly a
+    # protected slot, breaking the BA write-back ownership invariant
+    # (advisor r2 finding #2). Fall back to the oldest NON-protected slot
+    # (sacrificing an anchor is safe; stomping window ownership is not).
+    fallback = jnp.where(protected, jnp.inf, mem_stamp.astype(jnp.float32))
+    loss = jnp.where(jnp.all(jnp.isinf(loss)), fallback, loss)
     evict = jnp.argmin(loss).astype(jnp.int32)
     return jnp.where(all_full, evict, first_free)
 

@@ -15,12 +15,19 @@ Mosaic (TPU kernel compiler) constraints shaped the implementation:
     from an 8-aligned 16-row block (`pl.multiple_of` carries the proof)
     and rows/columns extracted by one-hot micro-matmuls;
   * 2D→1D reshapes are unsupported → all per-feature data stays (P,P);
-    the 6x6 Hessian is built from 21 symmetric masked reductions with the
-    Jacobian laid out (6, N, P, P).
+    the Jacobian is passed as an (N, P, 6P) slab (six (P,P) planes packed
+    side-by-side per feature) so in-kernel access is a leading-axis
+    dynamic index + static column slices, and the 21 unique Hessian
+    entries accumulate in a scalar fori_loop carry (see _gn_kernel).
+
+``gn_accumulate`` takes an optional global affine-illumination pair
+(a, b): the residual is e = I_cur − (a·I_ref + b), matching the
+production XLA aligner's illum_affine path (ops/align.py); with the
+default (1, 0) it matches illum_affine=False exactly.
 
 The XLA alternative for the same math is ops/interp_mxu.py (tent-kernel
-einsums); both are parity-tested against the gather oracle and raced in
-bench_amortized.py — the faster one is the production path.
+einsums); both are parity-tested against the gather oracle and raced on
+TPU in bench_amortized.py — the race result decides the production path.
 """
 
 from __future__ import annotations
@@ -116,7 +123,7 @@ def sample_patches(img: jnp.ndarray, uv: jnp.ndarray, P: int,
 
 
 def _gn_kernel(iu_ref, iv_ref, fr_ref, img_ref, tmpl_ref, jac_ref, w_ref,
-               out_ref, *, P, huber_k):
+               ab_ref, out_ref, *, P, huber_k):
     """Accumulate H (6,6), b (6), cost, n_eff over all features.
 
     tmpl_ref: (N,P,P); jac_ref: (N,P,6P) — each feature's six (P,P)
@@ -124,8 +131,11 @@ def _gn_kernel(iu_ref, iv_ref, fr_ref, img_ref, tmpl_ref, jac_ref, w_ref,
     access is a leading-axis dynamic index + static column slices. (The
     previous (6,N,P,P) layout needed a 4-D mid-axis dynamic index, which
     the hardware Mosaic lowering miscompiled — H off ~20% — while passing
-    interpret mode; ROADMAP r1 #3.) out: (8,128) — rows 0-5 → H, row 6 →
-    b, row 7 → [cost, n_eff].
+    interpret mode; ROADMAP r1 #3.) ab_ref: (2,) SMEM global affine
+    illumination (gain a, bias b) — residual e = patch − (a·tmpl + b),
+    semantically matching ops/align.py's illum_affine path ((1,0) ==
+    illum_affine off). out: (8,128) — rows 0-5 → H, row 6 → b,
+    row 7 → [cost, n_eff].
 
     Accumulation is a 29-scalar fori_loop carry (21 unique H entries + 6 b
     + cost + n_eff): scalar adds, instead of 29 masked selects over the
@@ -138,7 +148,7 @@ def _gn_kernel(iu_ref, iv_ref, fr_ref, img_ref, tmpl_ref, jac_ref, w_ref,
         h_acc, b_acc, cost, n_eff = carry
         win = _extract_window(img_ref, iv_ref[i], iu_ref[i], P)
         patch = _bilinear_window(win, fr_ref[i, 0], fr_ref[i, 1], P)
-        e = patch - tmpl_ref[i, :, :]                       # (P,P)
+        e = patch - (ab_ref[0] * tmpl_ref[i, :, :] + ab_ref[1])  # (P,P)
         a = jnp.abs(e)
         w = jnp.where(a <= huber_k, 1.0, huber_k / jnp.maximum(a, 1e-6))
         w = w * w_ref[i]
@@ -185,15 +195,20 @@ def _gn_kernel(iu_ref, iv_ref, fr_ref, img_ref, tmpl_ref, jac_ref, w_ref,
 @functools.partial(jax.jit, static_argnames=("P", "huber_k", "interpret"))
 def gn_accumulate(img: jnp.ndarray, uv: jnp.ndarray, tmpl: jnp.ndarray,
                   jac: jnp.ndarray, weight: jnp.ndarray, P: int,
-                  huber_k: float, interpret: bool = False):
+                  huber_k: float, a_il=1.0, b_il=0.0,
+                  interpret: bool = False):
     """Fused GN pass: returns (H (6,6), b (6,), cost, n_eff).
 
     img: level image; uv: (N,2) projected centers; tmpl: (N,P²) template
-    intensities; jac: (N,P²,6) IC Jacobians; weight: (N,) 0/1 feature mask.
+    intensities; jac: (N,P²,6) IC Jacobians; weight: (N,) 0/1 feature mask;
+    (a_il, b_il): global affine illumination — residual is
+    cur − (a_il·tmpl + b_il), the illum_affine convention of ops/align.py.
     """
     N = uv.shape[0]
     iu, iv, du, dv = _prep_indices(img.shape, uv, P)
     fr = jnp.stack([du, dv], axis=-1)
+    ab = jnp.stack([jnp.asarray(a_il, jnp.float32),
+                    jnp.asarray(b_il, jnp.float32)])
     tmpl2 = tmpl.reshape(N, P, P)
     # (N,P²,6) → (N,P,6P): feature i's Jacobian plane k lives at
     # [i, :, kP:(k+1)P] — 2-D slab per feature, no 4-D dynamic indexing
@@ -210,10 +225,11 @@ def gn_accumulate(img: jnp.ndarray, uv: jnp.ndarray, tmpl: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(iu, iv, fr, img, tmpl2, jac2, weight)
+    )(iu, iv, fr, img, tmpl2, jac2, weight, ab)
     H = out[0:6, 0:6]
     b = out[6, 0:6]
     cost = out[7, 0]

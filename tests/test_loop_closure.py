@@ -41,6 +41,16 @@ def test_descriptor_lighting_invariance():
     assert float(d0 @ d1) > 0.9999
 
 
+def test_descriptor_equals_center_shift_variant():
+    """descriptor() must equal shifted_descriptors()[4] exactly — the bank
+    stores the former, queries match the latter (advisor r2 #5 made the
+    center path direct; this pins the equivalence)."""
+    _, img = _render(0.7)
+    d = loop_closure.descriptor(img, 6, 8)
+    ds = loop_closure.shifted_descriptors(img, 6, 8)
+    assert np.allclose(np.asarray(d), np.asarray(ds[4]), atol=1e-6)
+
+
 def test_descriptor_discriminates_views():
     _, img_a = _render(0.0)
     _, img_a2 = _render(0.02)    # nearly the same place

@@ -57,6 +57,23 @@ def test_coverage_retention_respects_protection():
     assert writes.count(2) == 1 and writes.count(5) == 1
 
 
+def test_coverage_retention_all_inf_fallback():
+    """Degenerate bank (protection + anchors cover every slot): evict the
+    oldest NON-protected slot, never a protected one (advisor r2 #2)."""
+    M = 4
+    valid = jnp.ones(M, bool)
+    stamp = jnp.asarray([3, 7, 11, 15], jnp.int32)
+    # slots 1, 2 protected; slots 0 (oldest) and 3 (newest) are the
+    # temporal anchors → every coverage loss is +inf
+    protected = jnp.asarray([False, True, True, False])
+    m = int(keyframe.mem_coverage_slot(valid, stamp, protected))
+    assert m == 0                      # oldest non-protected, NOT slot 1/2
+    # fully protected bank: the slot returned must still be in range (the
+    # write is then a benign self-overwrite of whichever argmin picks)
+    m2 = int(keyframe.mem_coverage_slot(valid, stamp, jnp.ones(M, bool)))
+    assert 0 <= m2 < M
+
+
 @pytest.mark.slow
 def test_e2e_small_bank_retains_origin_for_loop_closure():
     """With a bank far smaller than the keyframe count, coverage retention

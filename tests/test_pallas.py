@@ -68,6 +68,39 @@ def test_pallas_gn_accumulate_parity():
     assert float(n_eff) == float(jnp.sum(w))
 
 
+def test_pallas_gn_accumulate_illum_affine_parity():
+    """Kernel with a global (gain, bias) must match the illum_affine
+    residual convention e = cur − (a·tmpl + b) of ops/align.py
+    (advisor r2 #3: the raw-residual kernel silently diverged from the
+    production path once illum_affine became the default)."""
+    img = _img()
+    N, P = 32, 4
+    uv = jnp.asarray(np.stack([RNG.uniform(8, 248, N),
+                               RNG.uniform(8, 56, N)], -1), jnp.float32)
+    tmpl = jnp.asarray(RNG.uniform(0, 255, (N, P * P)), jnp.float32)
+    jac = jnp.asarray(RNG.normal(0, 1, (N, P * P, 6)), jnp.float32)
+    w = jnp.asarray(RNG.uniform(size=N) > 0.25, jnp.float32)
+    k, a_il, b_il = 8.0, 1.3, -7.5
+
+    H, b, cost, n_eff = align_kernel.gn_accumulate(
+        img, uv, tmpl, jac, w, P, k, a_il=a_il, b_il=b_il,
+        interpret=INTERPRET)
+
+    cur = np.asarray(interp.sample_patch(img, uv, P,
+                                         method="gather")).astype(np.float64)
+    e = cur - (a_il * np.asarray(tmpl, np.float64) + b_il)
+    a = np.abs(e)
+    wk = np.where(a <= k, 1.0, k / np.maximum(a, 1e-6)) \
+        * np.asarray(w)[:, None]
+    jac64 = np.asarray(jac, np.float64)
+    H_o = np.einsum("npi,np,npj->ij", jac64, wk, jac64)
+    b_o = np.einsum("npi,np,np->i", jac64, wk, e)
+    np.testing.assert_allclose(np.asarray(H), H_o, rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(b), b_o, rtol=2e-4, atol=5e-2)
+    np.testing.assert_allclose(float(cost), float(np.sum(wk * e * e)),
+                               rtol=1e-4)
+
+
 def test_pallas_halfsample_parity():
     img = _img(64, 256)
     ours = pyramid_kernel.halfsample(img, interpret=INTERPRET)
