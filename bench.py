@@ -17,10 +17,28 @@ can be measured). The CPU number is cached in bench_results/cpu_baseline.json.
 The north-star target is fps > 2x the *reference C++* CPU fps; our own JAX
 CPU fps stands in for it (clearly labeled) while the reference mount is
 empty.
+
+Accuracy gates (VERDICT r1 #1, r2 #1): the judged metric is fps AT
+accuracy. EVERY bench path — default, batched, stress, KITTI-geometry —
+checks ATE and tracking against its gate and exits 1 on failure; a
+regression can never ride along as a footnote next to a better fps number.
+
+Env knobs:
+  BENCH_FRAMES       frames per sequence (default 100)
+  BENCH_STRESS=1     north-star config #3 (5-level pyramid, 2048 seeds)
+  BENCH_GEOM=kitti   KITTI geometry (1241x376, 0.537 m baseline)
+  BENCH_SCENE=...    synthetic scene kind (planes|clutter|road)
+  BENCH_TRAJ=...     trajectory kind (arc|kitti|spin|loop)
+  BENCH_PERTURB=1    photometric nuisance model
+  BENCH_KF_EVERY=N   keyframe cadence quantization for the batched run
+  BENCH_LATENCY=1    per-frame latency percentiles (python-loop run)
+  BENCH_SKIP_BATCHED=1  skip the batched-8 run
+  BENCH_ATE_GATE / BENCH_TRACK_GATE  override the accuracy gates
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -29,39 +47,51 @@ import time
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
 N_CPU_FRAMES = int(os.environ.get("BENCH_CPU_FRAMES", "10"))
-# Accuracy gates (VERDICT r1 item 1): the judged metric is fps AT accuracy.
-# A regression in either must fail the bench loudly, not ride along as a
-# footnote next to a better fps number.
 ATE_GATE_M = float(os.environ.get("BENCH_ATE_GATE", "0.02"))
 TRACK_GATE = float(os.environ.get("BENCH_TRACK_GATE", "0.99"))
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "bench_results", "cpu_baseline.json")
 
 
-def _run(n_frames: int, repeats: int = 2, cfg=None,
-         scene_kind: str = "planes", perturb: bool = False):
-    """Render a sequence and time the scan-based pipeline. Returns
-    (fps, ate_rmse, n_kf, tracking_ok, (rpe_t, rpe_r))."""
+def _check_gates(err, ok, ate_gate=None, track_gate=None):
+    """Collect gate violations; every bench path runs through this."""
+    ate_gate = ATE_GATE_M if ate_gate is None else ate_gate
+    track_gate = TRACK_GATE if track_gate is None else track_gate
+    fails = []
+    if err is not None and err > ate_gate:
+        fails.append(f"ate_rmse {err:.4f} > {ate_gate}")
+    if ok is not None and ok < track_gate:
+        fails.append(f"tracking_ok {ok:.4f} < {track_gate}")
+    return fails
+
+
+def _emit(payload, gate_fail):
+    payload["accuracy_gate"] = (
+        "FAIL: " + "; ".join(gate_fail)) if gate_fail else "pass"
+    print(json.dumps(payload))
+    if gate_fail:
+        print("ACCURACY GATE FAILED: " + "; ".join(gate_fail),
+              file=sys.stderr)
+        sys.exit(1)
+
+
+def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
+                     perturb=False, seed=0, dt=0.08):
+    """Pre-stage a rendered sequence on device; returns (lefts, rights, gts)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from stereo_svo_tpu.config import SvoConfig
-    from stereo_svo_tpu.engine import runner
-    from stereo_svo_tpu.eval import ate
     from stereo_svo_tpu.io import synthetic
 
-    cfg = cfg or SvoConfig()
-    cam = cfg.camera
-
-    # pre-stage frames on device (rendering excluded from timing)
-    scene = synthetic.get_scene(scene_kind, 0)
+    scene = synthetic.get_scene(scene_kind, seed)
     render = jax.jit(lambda T: synthetic.render_stereo(cam, T, scene))
     pert = jax.jit(synthetic.perturb_stereo)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(seed)
     lefts, rights, gts = [], [], []
     for i in range(n_frames):
-        T = synthetic.trajectory_pose(jnp.asarray(i * 0.08, jnp.float32))
+        T = synthetic.trajectory_pose(jnp.asarray(i * dt, jnp.float32),
+                                      kind=traj_kind)
         l, r = render(T)
         if perturb:
             key, sub = jax.random.split(key)
@@ -72,6 +102,24 @@ def _run(n_frames: int, repeats: int = 2, cfg=None,
     lefts = jnp.stack(lefts)
     rights = jnp.stack(rights)
     jax.block_until_ready((lefts, rights))
+    return lefts, rights, np.stack(gts)
+
+
+def _run(n_frames: int, repeats: int = 2, cfg=None,
+         scene_kind: str = "planes", perturb: bool = False,
+         traj_kind: str = "arc"):
+    """Render a sequence and time the scan-based pipeline. Returns
+    (fps, ate_rmse, n_kf, tracking_ok, (rpe_t, rpe_r))."""
+    import jax
+    import numpy as np
+
+    from stereo_svo_tpu.config import SvoConfig
+    from stereo_svo_tpu.engine import runner
+    from stereo_svo_tpu.eval import ate
+
+    cfg = cfg or SvoConfig()
+    lefts, rights, gt_T = _render_sequence(
+        cfg.camera, n_frames, scene_kind, traj_kind, perturb)
 
     run = jax.jit(lambda l, r: runner.run_sequence_scan(cfg, l, r))
     state, outs = run(lefts, rights)           # compile + warmup
@@ -91,7 +139,6 @@ def _run(n_frames: int, repeats: int = 2, cfg=None,
     fps = n_frames / best if best < float("inf") else float("nan")
 
     est_T = np.asarray(outs.T_wc)
-    gt_T = np.stack(gts)
     err = ate.ate_rmse(ate.positions(est_T), ate.positions(gt_T))
     rpe_t, rpe_r = ate.rpe(est_T, gt_T)
     n_kf = int(np.asarray(outs.kf_inserted).sum())
@@ -110,7 +157,7 @@ def _cpu_baseline() -> float:
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800)
+            env=env, capture_output=True, text=True, timeout=3600)
         line = out.stdout.strip().splitlines()[-1]
         fps = json.loads(line)["value"]
         os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
@@ -124,30 +171,41 @@ def _cpu_baseline() -> float:
         return float("nan")
 
 
-def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2):
-    """Config #4: `batch` sequences vmapped on one chip; aggregate fps."""
+def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2,
+                 kf_every: int = 1):
+    """Config #4: `batch` sequences vmapped on one chip; aggregate fps.
+
+    Each sequence renders a different scene (seed b) over the SAME
+    ground-truth trajectory, so per-sequence ATE is measurable (VERDICT r2
+    missing #2: the batched path previously computed no ATE at all).
+    Returns (fps, tracking_ok, ate_max, ate_mean).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from stereo_svo_tpu.config import SvoConfig
     from stereo_svo_tpu.engine import runner
+    from stereo_svo_tpu.eval import ate
     from stereo_svo_tpu.io import synthetic
 
-    cfg = SvoConfig()
+    cfg = SvoConfig(kf_every=kf_every) if kf_every > 1 else SvoConfig()
     cam = cfg.camera
     lefts, rights = [], []
+    gts = None
     for b in range(batch):
         scene = synthetic.default_scene(b)
         render = jax.jit(lambda T, s=scene: synthetic.render_stereo(cam, T, s))
-        ls, rs = [], []
+        ls, rs, g = [], [], []
         for i in range(n_frames):
             T = synthetic.trajectory_pose(jnp.asarray(i * 0.08, jnp.float32))
             l, r = render(T)
             ls.append(l)
             rs.append(r)
+            g.append(np.asarray(T))
         lefts.append(jnp.stack(ls))
         rights.append(jnp.stack(rs))
+        gts = np.stack(g)              # same trajectory for every sequence
     lefts = jnp.stack(lefts)
     rights = jnp.stack(rights)
     jax.block_until_ready((lefts, rights))
@@ -165,11 +223,57 @@ def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2):
             best = min(best, dt)
     ok = float(np.asarray(outs.tracking_ok).mean())
     fps = batch * n_frames / best if best < float("inf") else float("nan")
-    return fps, ok
+    est = np.asarray(outs.T_wc)                       # (B, T, 3, 4)
+    errs = [ate.ate_rmse(ate.positions(est[b]), ate.positions(gts))
+            for b in range(batch)]
+    return fps, ok, float(np.max(errs)), float(np.mean(errs))
+
+
+def _run_latency(n_frames: int, cfg=None):
+    """Per-frame latency distribution through the python-loop runner.
+
+    The scan runner amortizes dispatch and hides per-frame variance; this
+    path times each make_jitted_step call with block_until_ready — the
+    number a live-camera deployment would see (VERDICT r2 #6: measure the
+    KF-frame latency spike before deciding whether PP/overlap is worth
+    building). NOTE: through the remote axon tunnel this includes ~ms-level
+    host→device dispatch overhead per call; the p99/p50 RATIO and the
+    KF-vs-non-KF split are the meaningful signals, not absolute values.
+    """
+    import jax
+    import numpy as np
+
+    from stereo_svo_tpu.config import SvoConfig
+    from stereo_svo_tpu.engine import runner
+
+    cfg = cfg or SvoConfig()
+    lefts, rights, _ = _render_sequence(cfg.camera, n_frames)
+    svo = runner.StereoSvo(cfg)
+    svo.new_image(lefts[0], rights[0])       # compile
+    lat, kf = [], []
+    for i in range(1, n_frames):
+        t0 = time.perf_counter()
+        out = svo.new_image(lefts[i], rights[i])
+        jax.block_until_ready(out.T_wc)
+        lat.append(time.perf_counter() - t0)
+        kf.append(bool(np.asarray(out.kf_inserted)))
+    lat = np.asarray(lat) * 1e3
+    kf = np.asarray(kf)
+    stats = {
+        "latency_p50_ms": round(float(np.percentile(lat, 50)), 3),
+        "latency_p95_ms": round(float(np.percentile(lat, 95)), 3),
+        "latency_p99_ms": round(float(np.percentile(lat, 99)), 3),
+        "latency_kf_mean_ms": round(float(lat[kf].mean()), 3)
+        if kf.any() else None,
+        "latency_nonkf_mean_ms": round(float(lat[~kf].mean()), 3),
+        "n_kf_frames": int(kf.sum()),
+    }
+    return stats
 
 
 def main():
     scene_kind = os.environ.get("BENCH_SCENE", "planes")
+    traj_kind = os.environ.get("BENCH_TRAJ", "arc")
     perturb = os.environ.get("BENCH_PERTURB") == "1"
 
     if os.environ.get("BENCH_MODE") == "cpu":
@@ -183,68 +287,76 @@ def main():
         # (config.stress_config) through the same scan runner.
         from stereo_svo_tpu.config import stress_config
         fps, err, n_kf, ok, rp = _run(N_FRAMES, cfg=stress_config(),
-                                      scene_kind=scene_kind, perturb=perturb)
-        print(json.dumps({
+                                      scene_kind=scene_kind, perturb=perturb,
+                                      traj_kind=traj_kind)
+        _emit({
             "metric": "frames_per_s_per_chip_stress_2048seeds_5lvl_752x480",
             "value": round(fps, 2), "unit": "frames/s",
             "vs_baseline": None, "ate_rmse_m": round(err, 4),
             "rpe_t_m": round(rp[0], 5), "rpe_r_rad": round(rp[1], 5),
             "tracking_ok_frac": round(ok, 4), "keyframes": n_kf,
-            "n_frames": N_FRAMES}))
+            "n_frames": N_FRAMES}, _check_gates(err, ok))
         return
 
     if os.environ.get("BENCH_GEOM") == "kitti":
         # KITTI-geometry variant (1241x376, wide baseline): validates the
         # pipeline on the second real-dataset geometry while the sandbox
-        # has no KITTI data (VERDICT r1 missing #1).
+        # has no KITTI data (VERDICT r1 missing #1). Default trajectory is
+        # the forward-dominant 'kitti' kind over the deep 'road' scene —
+        # the motion/geometry class the EuRoC arc never exercises.
         from stereo_svo_tpu.config import kitti_config
+        scene_k = os.environ.get("BENCH_SCENE", "road")
+        traj_k = os.environ.get("BENCH_TRAJ", "kitti")
         fps, err, n_kf, ok, rp = _run(N_FRAMES, cfg=kitti_config(),
-                                      scene_kind=scene_kind, perturb=perturb)
-        print(json.dumps({
+                                      scene_kind=scene_k, perturb=perturb,
+                                      traj_kind=traj_k)
+        _emit({
             "metric": "frames_per_s_per_chip_kitti_geom_1241x376",
             "value": round(fps, 2), "unit": "frames/s",
             "vs_baseline": None, "ate_rmse_m": round(err, 4),
             "rpe_t_m": round(rp[0], 5), "rpe_r_rad": round(rp[1], 5),
             "tracking_ok_frac": round(ok, 4), "keyframes": n_kf,
-            "scene": scene_kind, "perturb": perturb,
-            "n_frames": N_FRAMES}))
+            "scene": scene_k, "traj": traj_k, "perturb": perturb,
+            "n_frames": N_FRAMES}, _check_gates(err, ok))
         return
 
     fps, err, n_kf, ok, rp = _run(N_FRAMES, scene_kind=scene_kind,
-                                  perturb=perturb)
-    fps_b, ok_b = (None, True)
+                                  perturb=perturb, traj_kind=traj_kind)
+    gate_fail = _check_gates(err, ok)
+    fps_b = ate_b_max = ate_b_mean = None
     if os.environ.get("BENCH_SKIP_BATCHED") != "1":
-        fps_b, ok_b = _run_batched(max(N_FRAMES // 4, 10))
+        kf_every = int(os.environ.get("BENCH_KF_EVERY", "1"))
+        fps_b, ok_b, ate_b_max, ate_b_mean = _run_batched(
+            max(N_FRAMES // 4, 10), kf_every=kf_every)
+        # batched gate: shorter sequence → same ATE bound applies (the
+        # batched path must be AS accurate as single-sequence, VERDICT r2
+        # missing #2)
+        gate_fail += ["batched " + g for g in _check_gates(ate_b_max, ok_b)]
+    lat_stats = {}
+    if os.environ.get("BENCH_LATENCY") == "1":
+        lat_stats = _run_latency(N_FRAMES)
     cpu_fps = _cpu_baseline()
     vs = fps / cpu_fps if cpu_fps == cpu_fps and cpu_fps > 0 else None
-    ok_all = min(ok, ok_b if fps_b else 1.0)
-    gate_fail = []
-    if err > ATE_GATE_M:
-        gate_fail.append(f"ate_rmse {err:.4f} > {ATE_GATE_M}")
-    if ok_all < TRACK_GATE:
-        gate_fail.append(f"tracking_ok {ok_all:.4f} < {TRACK_GATE}")
-    print(json.dumps({
+    payload = {
         "metric": "frames_per_s_per_chip_synthetic_euroc_752x480",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "batched8_frames_per_s": round(fps_b, 2) if fps_b else None,
+        "batched8_ate_max_m": round(ate_b_max, 4)
+        if ate_b_max is not None else None,
         "ate_rmse_m": round(err, 4),
         "rpe_t_m": round(rp[0], 5), "rpe_r_rad": round(rp[1], 5),
-        "tracking_ok_frac": round(ok_all, 4),
+        "tracking_ok_frac": round(ok, 4),
         "keyframes": n_kf,
         "n_frames": N_FRAMES,
         "scene": scene_kind, "perturb": perturb,
-        "accuracy_gate": ("FAIL: " + "; ".join(gate_fail)) if gate_fail
-                         else "pass",
         "baseline_note": "vs_baseline = ratio to this same pipeline on host "
                          "CPU (provisional per BASELINE.md; reference mount "
                          "empty)",
-    }))
-    if gate_fail:
-        print("ACCURACY GATE FAILED: " + "; ".join(gate_fail),
-              file=sys.stderr)
-        sys.exit(1)
+    }
+    payload.update(lat_stats)
+    _emit(payload, gate_fail)
 
 
 if __name__ == "__main__":

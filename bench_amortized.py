@@ -99,6 +99,45 @@ def main():
             jnp.ones(n) * 10, jnp.ones(n) * 10, jnp.ones(n),
             jnp.ones(n, bool)).mu), T_ck, det.uv, det.uv, mu0)
 
+    # --- Pallas-vs-einsum race at production shapes (VERDICT r2 #7) ---
+    # The two implementations of the alignment hot loop: tent-kernel MXU
+    # einsums (ops/interp_mxu.py, production) vs the fused Pallas kernel
+    # (ops/pallas/align_kernel.py). Same math, parity-tested; the race
+    # here decides the dispatch (see ROADMAP).
+    if jax.default_backend() == "tpu":
+        from stereo_svo_tpu.ops import interp
+        from stereo_svo_tpu.ops.pallas import align_kernel
+
+        P = cfg.align_patch
+        tmpl0 = tmpl.patches[-1]              # finest level (N, P²)
+        J0 = tmpl.jac[-1]                     # (N, P², 6)
+        w0 = tmpl.mask.astype(jnp.float32)
+        amort("race_sample_mxu_ms", scanned(
+            lambda c, i, u: interp.sample_patch(i, u + c, P, method="mxu")),
+            img_l, det.uv)
+        amort("race_sample_pallas_ms", scanned(
+            lambda c, i, u: align_kernel.sample_patches(i, u + c, P)),
+            img_l, det.uv)
+
+        def gn_einsum(c, i, u, t0, J, w):
+            cur = interp.sample_patch(i, u + c, P, method="mxu")
+            e = cur - t0
+            ww = w[:, None] * jnp.where(
+                jnp.abs(e) <= cfg.align_huber, 1.0,
+                cfg.align_huber / jnp.maximum(jnp.abs(e), 1e-6))
+            H = jnp.einsum("npi,np,npj->ij", J, ww, J,
+                           preferred_element_type=jnp.float32)
+            b = jnp.einsum("npi,np,np->i", J, ww, e,
+                           preferred_element_type=jnp.float32)
+            return H, b
+
+        amort("race_gn_einsum_ms", scanned(gn_einsum),
+              img_l, det.uv, tmpl0, J0, w0)
+        amort("race_gn_pallas_ms", scanned(
+            lambda c, i, u, t0, J, w: align_kernel.gn_accumulate(
+                i, u + c, t0, J, w, P, cfg.align_huber)[0]),
+            img_l, det.uv, tmpl0, J0, w0)
+
     print(json.dumps({k: round(v, 3) for k, v in results.items()},
                      indent=1))
 

@@ -152,6 +152,22 @@ class SvoConfig:
                                    # cold (engine/step.make_batched_step);
                                    # a collapsing track overrides it
 
+    # --- stereo observation consistency gate (keyframe snapshots) ---
+    stereo_consist_px: float = 2.0   # accept a stereo re-match into the BA
+                                     # observation graph only if it agrees
+                                     # with the feature's predicted
+                                     # disparity within max(px, rel·disp):
+                                     # absolute floor for near features
+                                     # (occlusion/repeated-texture guard)…
+    stereo_consist_rel: float = 0.15  # …relative window for far ones — a
+                                     # 2 px absolute gate at 25 px
+                                     # disparity rejects the very
+                                     # measurements that re-anchor scale
+                                     # once inverse-depth drift exceeds
+                                     # ~8% (measured: the KITTI-geometry
+                                     # forward-scale runaway, BASELINE.md
+                                     # r3 root-cause)
+
     # --- bundle adjustment (backend) ---
     use_ba: bool = True            # run window BA at each KF insertion
     ba_iters: int = 5              # GN/LM outer iterations
@@ -176,6 +192,13 @@ class SvoConfig:
                                    # a true revisit with ~10° view change
                                    # scores ~0.68, unrelated views <0.4.
     loop_min_gap: int = 20         # min |frame stamp| separation (same seq)
+    pr_rot_variants: int = 2       # rotated query variants per side for
+                                   # place recognition (relocalization +
+                                   # loop proposals): matching maxes over
+                                   # ±k·pr_rot_step_rad rolls, k=1..n —
+                                   # in-plane-rotation tolerance the plain
+                                   # pooled grid lacks (0 disables)
+    pr_rot_step_rad: float = 0.15
     reloc_min_score: float = 0.3   # descriptor-score floor for accepting
                                    # the appearance-nearest keyframe as the
                                    # relocalization seed; below it (e.g. a

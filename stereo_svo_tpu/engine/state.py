@@ -103,6 +103,13 @@ class FrameOut(NamedTuple):
     align_inlier_frac: jnp.ndarray
     refine_rms_px: jnp.ndarray
     median_depth: jnp.ndarray
+    n_seed_deaths: jnp.ndarray   # () int32 seeds killed this frame
+                                 # (geometric outlier / filter divergence —
+                                 # NOT keyframe-eviction kills)
+    n_epi_recovered: jnp.ndarray  # () int32 KLT-lost seeds measured via
+                                 # the epipolar search instead (the
+                                 # reference DepthFilter's 1-D search;
+                                 # VERDICT r1 #4 done-criterion metric)
 
 
 def init_state(cfg: SvoConfig) -> SlamState:

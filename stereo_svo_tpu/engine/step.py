@@ -124,6 +124,8 @@ class TrackCtx(NamedTuple):
     align_cost: jnp.ndarray
     align_inlier_frac: jnp.ndarray
     refine_rms_px: jnp.ndarray
+    n_seed_deaths: jnp.ndarray   # () int32 (see FrameOut)
+    n_epi_recovered: jnp.ndarray  # () int32
 
 
 def make_phases(cfg: SvoConfig):
@@ -157,7 +159,9 @@ def make_phases(cfg: SvoConfig):
             align_cost=z, align_inlier_frac=z + 1.0,
             refine_rms_px=z,
             median_depth=_masked_median(
-                1.0 / jnp.maximum(st.mu, 1e-4), st.status > 0))
+                1.0 / jnp.maximum(st.mu, 1e-4), st.status > 0),
+            n_seed_deaths=jnp.asarray(0, jnp.int32),
+            n_epi_recovered=jnp.asarray(0, jnp.int32))
         return st, out
 
     def track_phase(st: SlamState, pyr_l, gxs, gys, img_r
@@ -171,7 +175,8 @@ def make_phases(cfg: SvoConfig):
             T_init_vel = se3.exp(st.vel)
             reloc, reloc_score = loop_closure.relocalize(
                 st.mem_desc, st.mem_valid, pyr_l[cfg.num_levels - 1],
-                cfg.loop_desc_rows, cfg.loop_desc_cols)
+                cfg.loop_desc_rows, cfg.loop_desc_cols,
+                n_rot=cfg.pr_rot_variants, rot_step=cfg.pr_rot_step_rad)
             # On a textureless/blackout frame the query descriptor
             # degenerates to ~zero: every bank entry scores ~0 and argmax
             # returns an arbitrary (possibly distant) keyframe. Below the
@@ -261,9 +266,11 @@ def make_phases(cfg: SvoConfig):
             # DepthFilter epipolar search, SURVEY.md §3.5) — without it a
             # briefly-untrackable seed collects zero observations and dies
             # by update budget instead of converging.
+            status_in = st.status         # for the seed-death counter
             obs_uv_df = feat_uv
             px_scale = obs_sigma
             seeds = seeds_klt
+            n_epi = jnp.asarray(0, jnp.int32)
             if cfg.epi_samples > 0:
                 lv_e = min(cfg.epi_level, cfg.klt_levels - 1)
                 lost_seed = (ok & (status == STATUS_SEED)
@@ -273,6 +280,7 @@ def make_phases(cfg: SvoConfig):
                     st.klt_tmpl.patches[lv_e], pyr_l[lv_e], lost_seed,
                     level=lv_e)
                 recovered = lost_seed & epi_ok
+                n_epi = jnp.sum(recovered).astype(jnp.int32)
                 seeds = seeds_klt | recovered
                 # The epipolar hit feeds the DEPTH FILTER ONLY — never the
                 # feature's tracked position (a broad ZNCC peak on smooth
@@ -293,6 +301,9 @@ def make_phases(cfg: SvoConfig):
                                STATUS_LANDMARK, status)
             status = jnp.where((status == STATUS_SEED) & div,
                                STATUS_DEAD, status)
+            n_seed_deaths = jnp.sum((status_in == STATUS_SEED)
+                                    & (status == STATUS_DEAD)
+                                    ).astype(jnp.int32)
 
             st = st._replace(status=status, feat_uv=feat_uv, mu=upd.mu,
                              sigma2=upd.sigma2, a_beta=upd.a,
@@ -327,7 +338,8 @@ def make_phases(cfg: SvoConfig):
                 med_depth=med_depth,
                 align_cost=align_stats["align_cost"],
                 align_inlier_frac=align_stats["align_inlier_frac"],
-                refine_rms_px=refine_stats["refine_rms_px"])
+                refine_rms_px=refine_stats["refine_rms_px"],
+                n_seed_deaths=n_seed_deaths, n_epi_recovered=n_epi)
             return st, ctx
 
     def kf_phase(st: SlamState, pyr_l, gxs, gys, img_r,
@@ -361,7 +373,9 @@ def make_phases(cfg: SvoConfig):
             align_cost=ctx.align_cost,
             align_inlier_frac=ctx.align_inlier_frac,
             refine_rms_px=ctx.refine_rms_px,
-            median_depth=ctx.med_depth)
+            median_depth=ctx.med_depth,
+            n_seed_deaths=ctx.n_seed_deaths,
+            n_epi_recovered=ctx.n_epi_recovered)
         return st, out
 
     return boot, track_phase, kf_phase, post_phase

@@ -192,7 +192,9 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     X_w = se3.transform(T_wk_per, p_kf)
     z_cur = se3.transform(T_cw, X_w)[..., 2]
     disp_pred = cam.fx * cam.baseline / jnp.maximum(z_cur, 1e-3)
-    consistent = jnp.abs(disp_all - disp_pred) < 2.0
+    window = jnp.maximum(cfg.stereo_consist_px,
+                         cfg.stereo_consist_rel * disp_all)
+    consistent = jnp.abs(disp_all - disp_pred) < window
     obs_uv = state.obs_uv.at[slot].set(feat_uv)
     obs_mask = state.obs_mask.at[slot].set(status > 0)
     obs_disp = state.obs_disp.at[slot].set(disp_all)

@@ -164,12 +164,76 @@ def cluttered_scene(seed: int = 0, n_spheres: int = 6):
     return tuple(prims), texs
 
 
+def road_scene(seed: int = 0):
+    """KITTI-like deep scene: road plane + two building walls + backdrop.
+
+    Depth spans ~4–60 m (vs the EuRoC-ish default_scene's 2.5–14 m), so a
+    wide-baseline camera (KITTI: 0.537 m) sees disparities well inside its
+    search range and forward motion has structure to track all the way
+    out — the geometry class the arc-over-close-planes bench never
+    exercises (VERDICT r2 weak #2).
+    """
+    def unit(v):
+        v = np.asarray(v, np.float32)
+        return v / np.linalg.norm(v)
+
+    prims = []
+    # road: y is down in the camera frame; camera ~1.65 m above the road
+    nG = unit([0.0, -1.0, -0.02])
+    prims.append(Plane(jnp.asarray(nG),
+                       jnp.asarray(np.dot(nG, [0, 1.65, 0]), np.float32),
+                       jnp.asarray(unit(np.cross(nG, [0, 0, 1.0]))),
+                       jnp.asarray(unit(np.cross(nG,
+                                                 np.cross(nG, [0, 0, 1.0]))))))
+    # building walls at x = ±7 m, slightly converging (keeps texture in
+    # view under yaw)
+    for sx in (-1.0, 1.0):
+        nW = unit([-sx, 0.0, -0.06])
+        prims.append(Plane(jnp.asarray(nW),
+                           jnp.asarray(np.dot(nW, [sx * 7.0, 0, 0]),
+                                       np.float32),
+                           jnp.asarray(unit(np.cross(nW, [0, 1.0, 0]))),
+                           jnp.asarray([0.0, 1.0, 0.0])))
+    # far backdrop closes every ray
+    nB = unit([0.0, 0.0, -1.0])
+    prims.append(Plane(jnp.asarray(nB),
+                       jnp.asarray(np.dot(nB, [0, 0, 60.0]), np.float32),
+                       jnp.asarray([1.0, 0.0, 0.0]),
+                       jnp.asarray([0.0, 1.0, 0.0])))
+    texs = tuple(_texture_params(seed + 10 * k) for k in range(len(prims)))
+    return tuple(prims), texs
+
+
+def dynamic_scene(seed: int = 0, t: float | jnp.ndarray = 0.0):
+    """Cluttered scene with ONE independently moving sphere.
+
+    The mover crosses the static world laterally (≈0.25 m per unit t) —
+    a non-rigid-scene stressor: its features violate the static-world
+    assumption and must be rejected by the outlier gates (reprojection
+    kill, depth-consistency gate), not dragged into the map
+    (SURVEY.md §4.2.2 hardening; VERDICT r2 missing #1).
+    """
+    prims, texs = cluttered_scene(seed, n_spheres=5)
+    t = jnp.asarray(t, jnp.float32)
+    mover = Sphere(
+        center=jnp.asarray([-2.5, 0.1, 6.0], jnp.float32)
+        + t * jnp.asarray([0.25, 0.0, 0.02], jnp.float32),
+        radius=jnp.asarray(0.8, jnp.float32),
+        e1=jnp.asarray([0.8, 0.0, 0.6], jnp.float32),
+        e2=jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    return prims + (mover,), texs + (_texture_params(seed + 999),)
+
+
 def get_scene(kind: str, seed: int = 0):
-    """Scene factory: 'planes' (default two-plane) or 'clutter'."""
+    """Scene factory: 'planes' (two-plane), 'clutter' (spheres+occlusion),
+    or 'road' (KITTI-like deep corridor). The time-varying 'dynamic' scene
+    is built per-frame via ``dynamic_scene`` (see ``make_sequence``)."""
     if kind in ("planes", "default"):
         return default_scene(seed)
     if kind == "clutter":
         return cluttered_scene(seed)
+    if kind == "road":
+        return road_scene(seed)
     raise ValueError(kind)
 
 
@@ -283,6 +347,27 @@ def trajectory_pose(t: jnp.ndarray, kind: str = "arc") -> jnp.ndarray:
         wy = 0.05 * jnp.sin(0.45 * t)
         wx = 0.02 * jnp.sin(0.7 * t)
         wz = 0.015 * jnp.sin(1.0 * t)
+    elif kind == "kitti":
+        # forward-dominant driving motion with a sustained yaw turn —
+        # KITTI's regime (VERDICT r2 missing #1: nothing exercised
+        # sustained yaw / forward dominance): ~19x more forward travel
+        # than lateral sway, yaw ramping to ±0.17 rad (≈10°)
+        tx = 0.08 * jnp.sin(0.5 * t)
+        ty = 0.02 * jnp.sin(0.9 * t)
+        tz = 1.5 * t
+        wy = 0.17 * jnp.sin(0.18 * t)
+        wx = 0.01 * jnp.sin(0.8 * t)
+        wz = 0.008 * jnp.sin(1.1 * t)
+    elif kind == "spin":
+        # in-plane-rotation stressor: roll to ±0.25 rad (≈14°) — the
+        # motion class grid-pooled place recognition and axis-aligned
+        # patches handle worst (VERDICT r2 #10 hardening)
+        tx = 0.15 * jnp.sin(0.6 * t)
+        ty = 0.05 * jnp.sin(0.9 * t + 0.4)
+        tz = 0.15 * t
+        wy = 0.03 * jnp.sin(0.5 * t)
+        wx = 0.02 * jnp.sin(0.8 * t + 1.0)
+        wz = 0.25 * jnp.sin(0.45 * t)
     elif kind == "still":
         z = jnp.zeros_like(t)
         tx = ty = tz = wx = wy = wz = z
@@ -294,21 +379,46 @@ def trajectory_pose(t: jnp.ndarray, kind: str = "arc") -> jnp.ndarray:
 
 def make_sequence(cam: CameraConfig, n_frames: int, dt: float = 0.1,
                   kind: str = "arc", seed: int = 0,
-                  scene_kind: str = "planes", perturb: bool = False):
+                  scene_kind: str = "planes", perturb: bool = False,
+                  motion_blur: float = 0.0):
     """Render a full sequence on host: (lefts, rights, gt_T_wc).
 
     Returns numpy arrays: (N,H,W), (N,H,W), (N,3,4). ``scene_kind``
-    selects the geometry (`get_scene`); ``perturb=True`` applies the
-    photometric nuisance model per frame (`perturb_stereo`).
+    selects the geometry (`get_scene`; 'dynamic' rebuilds the scene each
+    frame so one sphere moves independently); ``perturb=True`` applies the
+    photometric nuisance model per frame (`perturb_stereo`);
+    ``motion_blur`` > 0 averages 3 sub-exposures spread over that fraction
+    of the inter-frame motion (camera-shutter blur — smears gradients and
+    FAST scores, the classic direct-method stressor).
     """
-    scene = get_scene(scene_kind, seed)
-    render = jax.jit(lambda T: render_stereo(cam, T, scene))
+    dynamic = scene_kind == "dynamic"
+    if dynamic:
+        def render(T, t):
+            return render_stereo(cam, T, dynamic_scene(seed, t))
+    else:
+        scene = get_scene(scene_kind, seed)
+
+        def render(T, t):
+            return render_stereo(cam, T, scene)
+    if motion_blur > 0.0:
+        base = render
+
+        def render(T, t):  # noqa: F811 — blur wraps the base renderer
+            taps = []
+            for frac in (-motion_blur, 0.0, motion_blur):
+                Tb = trajectory_pose(t + frac * dt, kind)
+                taps.append(base(Tb, t))
+            l = sum(tp[0] for tp in taps) / len(taps)
+            r = sum(tp[1] for tp in taps) / len(taps)
+            return l, r
+    render = jax.jit(render)
     pert = jax.jit(perturb_stereo)
     key = jax.random.PRNGKey(seed)
     lefts, rights, poses = [], [], []
     for i in range(n_frames):
-        T = trajectory_pose(jnp.asarray(i * dt, jnp.float32), kind)
-        l, r = render(T)
+        t = jnp.asarray(i * dt, jnp.float32)
+        T = trajectory_pose(t, kind)
+        l, r = render(T, t)
         if perturb:
             key, sub = jax.random.split(key)
             l, r = pert(l, r, sub)

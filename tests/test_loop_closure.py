@@ -79,6 +79,59 @@ def test_relocalize_picks_appearance_nearest():
     assert int(slot2) != 1
 
 
+def test_rotated_variants_tolerate_roll():
+    """A rolled revisit (±0.25 rad in-plane rotation) must still clear the
+    loop/reloc score gates via the rotated query variants; the plain
+    shift-only matcher degrades (VERDICT r2 missing #5)."""
+    T, img = _render(1.0)
+    roll = se3.exp(jnp.asarray([0, 0, 0, 0, 0, 0.25], jnp.float32))
+    img_roll = synthetic.render_view(CAM, se3.compose(T, roll), SCENE)
+    d_bank = loop_closure.descriptor(img, 6, 8)        # bank stores plain
+    q_shift = loop_closure.shifted_descriptors(img_roll, 6, 8)
+    q_full = loop_closure.query_descriptors(img_roll, 6, 8,
+                                            n_rot=2, rot_step=0.15)
+    s_shift = float(jnp.max(q_shift @ d_bank))
+    s_full = float(jnp.max(q_full @ d_bank))
+    assert s_full > s_shift + 0.03, (s_full, s_shift)
+    assert s_full > 0.6, s_full                        # clears loop gate
+    # unrotated queries are unaffected (center variant still present)
+    q0 = loop_closure.query_descriptors(img, 6, 8, n_rot=2)
+    assert float(jnp.max(q0 @ d_bank)) > 0.999
+
+
+def test_relocalize_rolled_query_picks_right_slot():
+    descs, imgs = [], []
+    for t in (0.0, 1.5, 3.0):
+        _, img = _render(t)
+        imgs.append(img)
+        descs.append(loop_closure.descriptor(img, 6, 8))
+    bank = jnp.stack(descs)
+    valid = jnp.ones(3, bool)
+    T, _ = _render(1.5)
+    roll = se3.exp(jnp.asarray([0, 0, 0, 0, 0, -0.3], jnp.float32))
+    query = synthetic.render_view(CAM, se3.compose(T, roll), SCENE)
+    slot, score = loop_closure.relocalize(bank, valid, query, 6, 8,
+                                          n_rot=2, rot_step=0.15)
+    assert int(slot) == 1
+    _, score0 = loop_closure.relocalize(bank, valid, query, 6, 8)
+    assert float(score) > float(score0)     # rotation variants helped
+
+
+def test_reverse_heading_revisit_is_documented_miss():
+    """Recall envelope (documented limitation): an out-and-back revisit
+    facing the OPPOSITE heading images disjoint scene content — no
+    appearance descriptor over the forward view can match it. The score
+    must stay safely below the proposal gate (a false match would be
+    worse than the miss)."""
+    T, img_fwd = _render(0.5)
+    about_face = se3.exp(jnp.asarray([0, 0, 0, 0, np.pi, 0], jnp.float32))
+    img_back = synthetic.render_view(CAM, se3.compose(T, about_face), SCENE)
+    d_fwd = loop_closure.descriptor(img_fwd, 6, 8)
+    q_back = loop_closure.query_descriptors(img_back, 6, 8, n_rot=2)
+    s = float(jnp.max(q_back @ d_fwd))
+    assert s < 0.6, f"reverse-heading match scored {s} — envelope changed"
+
+
 def test_propose_edges_masks_and_threshold():
     # 4 keyframes: 0 and 3 are the same place (score ~1), but 0-1 adjacent
     D = 48
