@@ -143,8 +143,11 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
         # each exact GN iteration is latency-bound on its serial
         # 6x6-Cholesky + exp + compose chain (~15-20 µs on TPU, more than
         # the whole sampling pass), so H is inverted once per chunk and
-        # inner iterations reduce to a 6x6 matvec.
-        chunks = max(1, min(cfg.align_irls_chunks, iters_l))
+        # inner iterations reduce to a 6x6 matvec. Short per-level
+        # schedules get proportionally fewer refreshes (a 3-iteration
+        # coarse level with 3 refreshes would be all solve latency).
+        chunks = max(1, min(cfg.align_irls_chunks, iters_l // 2,
+                            iters_l))
         inner = max(iters_l // chunks - 1, 0)
         for ci in range(chunks):
             # refresh pass: weights + H⁻¹ AND an exact GN step from the

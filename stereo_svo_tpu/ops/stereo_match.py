@@ -25,49 +25,31 @@ def _normalize(p: jnp.ndarray) -> jnp.ndarray:
     return p / jnp.maximum(n, 1e-6)
 
 
-def match(left: jnp.ndarray, right: jnp.ndarray, uv: jnp.ndarray,
-          max_disp: int, patch: int, min_zncc: float = 0.5):
-    """Match features left→right along rectified scanlines.
-
-    Args:
-      left, right: (H, W) rectified intensity images (same level).
-      uv: (N, 2) feature positions in the left image.
-      max_disp: disparity search range [0, max_disp).
-      patch: ZNCC window size P.
-      min_zncc: acceptance threshold on the best normalized correlation.
-
-    Returns:
-      disp: (N,) sub-pixel disparity (garbage where invalid).
-      zncc: (N,) best correlation score.
-      valid: (N,) bool — score above threshold and peak interior.
-    """
-    N = uv.shape[0]
-    D = max_disp
-    P = patch
+def _search_1d(ref_n: jnp.ndarray, img: jnp.ndarray, uv0: jnp.ndarray,
+               D: int, P: int, direction: float):
+    """Core 1-D scanline search: score D windows starting at uv0 and
+    stepping ``direction`` (−1 = leftward in the target image, +1 =
+    rightward), sub-pixel peak. Returns (disp, best_score, s0, s2,
+    interior)."""
     half = (P - 1) / 2.0
-
-    # Reference patches from the left image, ZNCC-normalized.
-    ref = interp.sample_patch(left, uv, P).reshape(N, P * P)
-    ref_n = _normalize(ref)
-
-    # One (P, D+P-1) strip per feature from the right image. Columns run
-    # u - (D-1) - half … u + half; window for disparity d starts at column
-    # index (D-1-d).
-    col_off = jnp.arange(D + P - 1, dtype=left.dtype) - (D - 1) - half
-    row_off = jnp.arange(P, dtype=left.dtype) - half
-    strip = interp.sample_rect(right, uv, row_off, col_off)  # (N,P,D+P-1)
-
-    # All D candidate windows via static slices.
-    wins = jnp.stack([strip[:, :, D - 1 - d: D - 1 - d + P]
-                      for d in range(D)], axis=1)             # (N,D,P,P)
+    if direction < 0:
+        # columns u − (D−1) − half … u + half; window for disparity d
+        # starts at column index (D−1−d)
+        col_off = jnp.arange(D + P - 1, dtype=img.dtype) - (D - 1) - half
+        starts = [D - 1 - d for d in range(D)]
+    else:
+        # columns u − half … u + (D−1) + half; window d starts at d
+        col_off = jnp.arange(D + P - 1, dtype=img.dtype) - half
+        starts = list(range(D))
+    row_off = jnp.arange(P, dtype=img.dtype) - half
+    strip = interp.sample_rect(img, uv0, row_off, col_off)   # (N,P,D+P-1)
+    N = uv0.shape[0]
+    wins = jnp.stack([strip[:, :, s: s + P] for s in starts], axis=1)
     wins_n = _normalize(wins.reshape(N, D, P * P))
-
     scores = jnp.einsum("np,ndp->nd", ref_n, wins_n)          # (N,D)
 
-    best = jnp.argmax(scores, axis=1)                          # (N,)
+    best = jnp.argmax(scores, axis=1)
     best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
-
-    # Sub-pixel parabola on the correlation peak.
     bm1 = jnp.clip(best - 1, 0, D - 1)
     bp1 = jnp.clip(best + 1, 0, D - 1)
     s0 = jnp.take_along_axis(scores, bm1[:, None], axis=1)[:, 0]
@@ -78,8 +60,53 @@ def match(left: jnp.ndarray, right: jnp.ndarray, uv: jnp.ndarray,
                                                    denom, 1.0),
                        0.0)
     offset = jnp.clip(offset, -0.5, 0.5)
-    disp = best.astype(left.dtype) + offset
-
+    disp = best.astype(img.dtype) + offset
     interior = (best > 0) & (best < D - 1)
+    return disp, best_score, s0, s2, interior
+
+
+def match(left: jnp.ndarray, right: jnp.ndarray, uv: jnp.ndarray,
+          max_disp: int, patch: int, min_zncc: float = 0.5,
+          lr_check_px: float = 1.0, prominence: float = 0.005):
+    """Match features left→right along rectified scanlines.
+
+    Args:
+      left, right: (H, W) rectified intensity images (same level).
+      uv: (N, 2) feature positions in the left image.
+      max_disp: disparity search range [0, max_disp).
+      patch: ZNCC window size P.
+      min_zncc: acceptance threshold on the best normalized correlation.
+      lr_check_px: left-right consistency — re-match the winning right-
+        image window back into the left image and require the round trip
+        to land within this many px (0 disables). The classic gross-
+        outlier killer: occlusions and repeated texture rarely round-trip
+        (measured on the deep road scene: ZNCC-passing outliers with
+        +11 px mean disparity error seeded the KITTI-geometry forward-
+        scale runaway, BASELINE.md r3).
+      prominence: reject flat correlation ridges (low-frequency texture
+        along the scanline localizes arbitrarily): require
+        best − (s₋+s₊)/2 above this.
+
+    Returns:
+      disp: (N,) sub-pixel disparity (garbage where invalid).
+      zncc: (N,) best correlation score.
+      valid: (N,) bool — all gates passed.
+    """
+    N = uv.shape[0]
+    D = max_disp
+    P = patch
+
+    ref = interp.sample_patch(left, uv, P).reshape(N, P * P)
+    ref_n = _normalize(ref)
+    disp, best_score, s0, s2, interior = _search_1d(ref_n, right, uv, D, P,
+                                                    direction=-1.0)
     valid = (best_score > min_zncc) & interior
+    if prominence > 0.0:
+        valid &= best_score - 0.5 * (s0 + s2) > prominence
+    if lr_check_px > 0.0:
+        uv_r = jnp.stack([uv[:, 0] - disp, uv[:, 1]], axis=-1)
+        ref_r = interp.sample_patch(right, uv_r, P).reshape(N, P * P)
+        disp_rl, score_rl, _, _, interior_rl = _search_1d(
+            _normalize(ref_r), left, uv_r, D, P, direction=+1.0)
+        valid &= interior_rl & (jnp.abs(disp_rl - disp) <= lr_check_px)
     return disp, best_score, valid
