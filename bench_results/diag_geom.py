@@ -27,6 +27,9 @@ from stereo_svo_tpu.io import synthetic
 N = int(os.environ.get("DIAG_FRAMES", "100"))
 cfg = {"kitti": kitti_config, "stress": stress_config,
        "default": SvoConfig}[os.environ.get("DIAG_CFG", "kitti")]()
+if os.environ.get("DIAG_NOBA") == "1":
+    import dataclasses
+    cfg = dataclasses.replace(cfg, use_ba=False)
 scene_kind = os.environ.get("DIAG_SCENE", "planes")
 traj_kind = os.environ.get("DIAG_TRAJ", "arc")
 

@@ -16,10 +16,8 @@ import bench
 from stereo_svo_tpu.config import kitti_config
 
 RUNS = [
-    ("abs_gate_ba", {"stereo_consist_rel": 0.0}),
-    ("rel_gate_ba", {}),                       # new default (rel=0.15)
-    ("abs_gate_noba", {"stereo_consist_rel": 0.0, "use_ba": False}),
-    ("rel_gate_noba", {"use_ba": False}),
+    ("default", {}),
+    ("no_stereo_refresh", {"stereo_refresh_window": 0}),
 ]
 
 for name, overrides in RUNS:

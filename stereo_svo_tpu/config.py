@@ -134,6 +134,18 @@ class SvoConfig:
     seed_sigma_ratio: float = 0.05  # convergence: sigma < ratio * depth_range
     seed_max_updates: int = 60
     px_noise: float = 1.0          # 1-px measurement noise assumption
+    stereo_refresh_window: int = 4  # per-frame stereo reobservation of
+                                   # seeds: narrow disparity search
+                                   # (pred ± window px) in the CURRENT
+                                   # stereo pair, folded into the depth
+                                   # posterior. The scale anchor: motion
+                                   # triangulation follows the pose
+                                   # estimate, so pose-scale drift is
+                                   # self-reinforcing; the per-frame
+                                   # disparity measurement is pose-free
+                                   # (measured: KITTI-geom landmark depth
+                                   # bias +0.8%→+9.6% without it —
+                                   # BASELINE.md r3). 0 disables.
     # per-seed epipolar search for KLT-lost seeds (ref DepthFilter's 1-D
     # search along the epipolar line; SURVEY.md §3.5)
     epi_samples: int = 16          # ZNCC probes along the μ±3σ segment

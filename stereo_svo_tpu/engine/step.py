@@ -26,7 +26,7 @@ from ..frontend import detector, keyframe, pose_refine
 from ..geometry import camera as cam_mod
 from ..geometry import se3
 from ..ops import align as align_ops
-from ..ops import depth_filter, klt as klt_ops, pyramid, solve
+from ..ops import depth_filter, klt as klt_ops, pyramid, solve, stereo_match
 from .state import (STATUS_DEAD, STATUS_LANDMARK, STATUS_SEED, FrameOut,
                     SlamState, init_state)
 
@@ -295,6 +295,30 @@ def make_phases(cfg: SvoConfig):
                 st.mu, st.sigma2, st.a_beta, st.b_beta, st.z_range, seeds,
                 px_scale=px_scale)
             n_upd = st.n_upd + upd.updated.astype(jnp.int32)
+            if cfg.stereo_refresh_window > 0:
+                # per-frame stereo reobservation — the metric-scale anchor.
+                # Motion triangulation (above) follows the pose estimate,
+                # so pose-scale drift is self-reinforcing; the disparity
+                # measurement is pose-free (ops/depth_filter.
+                # stereo_observe_and_update). Narrow search around the
+                # posterior's predicted disparity keeps it cheap.
+                z_pred = jnp.maximum(x_c[..., 2], 0.2)
+                disp_pred = cam.fx * cam.baseline / z_pred
+                disp_m, _, ok_m = stereo_match.refine_disparity(
+                    pyr_l[0], img_r, feat_uv, disp_pred,
+                    cfg.stereo_refresh_window, cfg.stereo_patch)
+                # KLT-verified positions only: an untracked feature's
+                # feat_uv is the pose prediction, whose left patch may not
+                # be the feature — measuring disparity there would fold a
+                # wrong ray's depth into the posterior
+                stereo_seeds = (ok & (status == STATUS_SEED)
+                                & tracked & inliers)
+                upd2 = depth_filter.stereo_observe_and_update(
+                    cam, cfg, se3.inverse(T_ck), feat_uv, disp_m, ok_m,
+                    upd.mu, upd.sigma2, upd.a, upd.b, st.z_range,
+                    stereo_seeds, px_scale=obs_sigma)
+                upd = upd._replace(mu=upd2.mu, sigma2=upd2.sigma2,
+                                   a=upd2.a, b=upd2.b)
             conv = depth_filter.converged(cfg, upd.mu, upd.sigma2)
             div = depth_filter.diverged(cfg, upd.a, upd.b, n_upd)
             status = jnp.where((status == STATUS_SEED) & conv,

@@ -170,6 +170,56 @@ def observe_and_update(cam: CameraConfig, cfg: SvoConfig,
     return update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range, apply_mask)
 
 
+def stereo_observe_and_update(cam: CameraConfig, cfg: SvoConfig,
+                              T_kc: jnp.ndarray,
+                              cur_uv: jnp.ndarray,
+                              disp: jnp.ndarray, disp_ok: jnp.ndarray,
+                              mu: jnp.ndarray, sigma2: jnp.ndarray,
+                              a: jnp.ndarray, b: jnp.ndarray,
+                              z_range: jnp.ndarray,
+                              active: jnp.ndarray,
+                              px_scale: jnp.ndarray | None = None
+                              ) -> SeedUpdate:
+    """Per-frame STEREO depth observation folded into the seed posterior.
+
+    Reference parity-plus: the reference seeds its filters from stereo and
+    then updates them only with motion triangulation (SURVEY.md §3.5) —
+    but a stereo rig measures metric depth every frame. Motion
+    triangulation follows the pose estimate, so any pose-scale drift is
+    reinforced, not corrected (measured: the KITTI-geometry forward-scale
+    runaway — landmark depth bias compounding to +9.6%). The per-frame
+    disparity measurement is pose-scale-free; folding it in pins the
+    map's metric scale continuously.
+
+    The measurement z_c = fx·baseline/disp lives in the CURRENT camera;
+    the posterior is inverse depth along the ANCHOR ray: transform the
+    measured point into the anchor frame and take its z. tau: propagate
+    ±px_noise disparity bounds through the same transform (the z
+    component of T_kc shifts by ~cosθ·Δz_c — exact enough at these
+    angles).
+    """
+    z_c = cam_mod.disparity_to_depth(cam, disp)
+    X_c = cam_mod.backproject(cam, cur_uv, z_c)
+    z_k = se3.transform(T_kc, X_c)[..., 2]
+    x_obs = 1.0 / jnp.maximum(z_k, 1e-3)
+
+    noise = cfg.px_noise if px_scale is None else cfg.px_noise * px_scale
+    dlo = jnp.maximum(disp - noise, 0.25)
+    dhi = disp + noise
+    z_c_hi = cam_mod.disparity_to_depth(cam, dlo)   # low disp → far
+    z_c_lo = cam_mod.disparity_to_depth(cam, dhi)
+    # anchor-frame depth moves (to first order) by the same Δz scaled by
+    # the rotation's z-row alignment; bound it by the full Δ to stay safe
+    dz_k_hi = z_k + (z_c_hi - z_c)
+    dz_k_lo = jnp.maximum(z_k + (z_c_lo - z_c), 1e-3)
+    tau_inv = 0.5 * (1.0 / dz_k_lo - 1.0 / jnp.maximum(dz_k_hi, 1e-3))
+    tau_inv = jnp.maximum(jnp.abs(tau_inv), 1e-8)
+
+    apply_mask = active & disp_ok & (z_c > 0.1) & (z_k > 0.05)
+    return update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range,
+                  apply_mask)
+
+
 def epipolar_search(cam: CameraConfig, cfg: SvoConfig,
                     T_ck: jnp.ndarray, kf_uv: jnp.ndarray,
                     mu: jnp.ndarray, sigma2: jnp.ndarray,

@@ -32,19 +32,29 @@ def _search_1d(ref_n: jnp.ndarray, img: jnp.ndarray, uv0: jnp.ndarray,
     rightward), sub-pixel peak. Returns (disp, best_score, s0, s2,
     interior)."""
     half = (P - 1) / 2.0
+    C = D + P - 1
     if direction < 0:
         # columns u − (D−1) − half … u + half; window for disparity d
         # starts at column index (D−1−d)
-        col_off = jnp.arange(D + P - 1, dtype=img.dtype) - (D - 1) - half
-        starts = [D - 1 - d for d in range(D)]
+        col_off = jnp.arange(C, dtype=img.dtype) - (D - 1) - half
+        starts = jnp.arange(D - 1, -1, -1)
     else:
         # columns u − half … u + (D−1) + half; window d starts at d
-        col_off = jnp.arange(D + P - 1, dtype=img.dtype) - half
-        starts = list(range(D))
+        col_off = jnp.arange(C, dtype=img.dtype) - half
+        starts = jnp.arange(D)
     row_off = jnp.arange(P, dtype=img.dtype) - half
-    strip = interp.sample_rect(img, uv0, row_off, col_off)   # (N,P,D+P-1)
+    strip = interp.sample_rect(img, uv0, row_off, col_off)   # (N,P,C)
     N = uv0.shape[0]
-    wins = jnp.stack([strip[:, :, s: s + P] for s in starts], axis=1)
+    # All D sliding windows in ONE one-hot selector einsum (MXU) —
+    # wins[n,d,p,q] = strip[n,p,start_d+q]. The previous formulation
+    # stacked D static slices, i.e. O(D) HLO ops per search direction:
+    # at D=128 and two directions (LR check) the unrolled graph pushed
+    # full-pipeline compiles past the sandbox's practical budget.
+    cols = starts[:, None] + jnp.arange(P)[None, :]          # (D,P)
+    onehot = (jnp.arange(C)[None, None, :] == cols[..., None]
+              ).astype(strip.dtype)                          # (D,P,C)
+    wins = jnp.einsum("npc,dqc->ndpq", strip, onehot,
+                      preferred_element_type=jnp.float32)    # (N,D,P,P)
     wins_n = _normalize(wins.reshape(N, D, P * P))
     scores = jnp.einsum("np,ndp->nd", ref_n, wins_n)          # (N,D)
 
@@ -110,3 +120,35 @@ def match(left: jnp.ndarray, right: jnp.ndarray, uv: jnp.ndarray,
             _normalize(ref_r), left, uv_r, D, P, direction=+1.0)
         valid &= interior_rl & (jnp.abs(disp_rl - disp) <= lr_check_px)
     return disp, best_score, valid
+
+
+def refine_disparity(left: jnp.ndarray, right: jnp.ndarray,
+                     uv: jnp.ndarray, disp_pred: jnp.ndarray,
+                     window: int, patch: int, min_zncc: float = 0.6):
+    """Narrow stereo re-measurement around a predicted disparity.
+
+    The scale anchor of the per-frame seed update (engine/step.py): a
+    stereo rig measures depth EVERY frame, not only at keyframe creation —
+    searching only disp_pred ± window (typically ±4 px, vs the full
+    max_disp range) makes the per-frame cost a small constant. Measured
+    need: without per-frame stereo reobservation the depth filter's
+    motion-triangulation observations follow pose-scale drift and outvote
+    the accurate stereo seed (KITTI-geometry road run: landmark depth bias
+    +0.8% → +9.6% over 100 frames, BASELINE.md r3 root-cause).
+
+    Returns (disp, zncc, ok) like ``match``; ok includes an interior check
+    (peak strictly inside the window — a edge hit means the prediction was
+    off by more than the window, not a measurement).
+    """
+    N = uv.shape[0]
+    D = 2 * window + 1
+    P = patch
+    base = disp_pred - float(window)          # (N,) leftmost disparity
+    ref = interp.sample_patch(left, uv, P).reshape(N, P * P)
+    uv0 = jnp.stack([uv[:, 0] - base, uv[:, 1]], axis=-1)
+    d_rel, score, s0, s2, interior = _search_1d(_normalize(ref), right,
+                                                uv0, D, P, direction=-1.0)
+    disp = base + d_rel
+    prominent = score - 0.5 * (s0 + s2) > 0.005
+    ok = (score > min_zncc) & interior & prominent & (disp > 0.5)
+    return disp, score, ok

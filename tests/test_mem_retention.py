@@ -78,14 +78,22 @@ def test_coverage_retention_all_inf_fallback():
 def test_long_horizon_multi_loop_closure_at_scale():
     """VERDICT r2 #3: prove loop closure end-to-end AFTER the memory bank
     has wrapped many times. 500-frame multi-loop sequence (≈5.5 out-and-
-    back periods), 8-slot bank, ≥3 wraps required; the pose graph must
-    accept ≥1 loop edge AND shrink the return-home (last-quarter,
-    unaligned) trajectory error."""
+    back periods), 8-slot bank, ≥3 wraps required; ≥1 loop edge must be
+    accepted and the pose graph must repair a drift event.
+
+    Measured context: the odometry itself drifts only ~5 mm over this
+    sequence — BELOW the loop-edge measurement noise (~5-10 mm thumbnail
+    alignment), so organic drift cannot demonstrate the repair. Instead a
+    rigid 7 cm offset is injected into everything after frame 300
+    (trajectory AND the memory bank's poses, exactly how a drift event
+    manifests — the image-space loop measurements are unaffected), and
+    the pose graph must pull the tail back by >40%."""
     import jax
     import jax.numpy as jnp
 
     from stereo_svo_tpu.backend.loop_closure import refine_trajectory
     from stereo_svo_tpu.engine import runner
+    from stereo_svo_tpu.geometry import se3
     from stereo_svo_tpu.io import synthetic
 
     cam = CameraConfig(fx=240.0, fy=240.0, cx=188.0, cy=120.0,
@@ -119,18 +127,40 @@ def test_long_horizon_multi_loop_closure_at_scale():
 
     wraps = int(state.mem_next) / cfg.mem_keyframes
     assert wraps >= 3.0, f"bank wrapped only {wraps:.1f}x"
-
     traj = np.asarray(outs.T_wc)
-    traj2, _, n_edges = refine_trajectory(cfg, state, traj)
+    # the odometry is mm-accurate here; sanity-pin that fact (if this ever
+    # grows past the edge noise, switch the test back to organic drift)
+    organic = np.linalg.norm(traj[:, :, 3] - gt[:, :, 3], axis=1).max()
+    assert organic < 0.02, organic
+
+    # inject the drift event
+    D = np.asarray(se3.exp(jnp.asarray(
+        [0.05, 0.02, -0.04, 0.004, -0.006, 0.003], jnp.float32)))
+
+    def apply(T):
+        R_, t_ = D[:, :3], D[:, 3]
+        out = np.array(T)
+        out[..., :, :3] = np.einsum("ij,...jk->...ik", R_, T[..., :, :3])
+        out[..., :, 3] = np.einsum("ij,...j->...i", R_, T[..., :, 3]) + t_
+        return out
+
+    traj_p = traj.copy()
+    traj_p[300:] = apply(traj[300:])
+    stamps = np.asarray(state.mem_stamp)
+    sel = np.asarray(state.mem_valid) & (stamps >= 300)
+    assert sel.any() and (~sel & np.asarray(state.mem_valid)).any()
+    mem_p = np.asarray(state.mem_T_wk).copy()
+    mem_p[sel] = apply(mem_p[sel])
+    state_p = state._replace(mem_T_wk=jnp.asarray(mem_p))
+
+    traj2, _, n_edges = refine_trajectory(cfg, state_p, traj_p)
     assert n_edges >= 1, "no loop edge accepted after bank wrapped"
-    # return-home error (unaligned — both trajectories start at identity):
-    # the pose graph must pull the drifted tail back toward ground truth
-    tail = slice(3 * n // 4, n)
-    err_before = np.linalg.norm(traj[tail, :, 3] - gt[tail, :, 3],
+    tail = slice(300, n)
+    err_before = np.linalg.norm(traj_p[tail, :, 3] - gt[tail, :, 3],
                                 axis=1).mean()
     err_after = np.linalg.norm(np.asarray(traj2)[tail, :, 3]
                                - gt[tail, :, 3], axis=1).mean()
-    assert err_after < err_before, (err_before, err_after)
+    assert err_after < 0.6 * err_before, (err_before, err_after)
     assert np.isfinite(traj2).all()
 
 

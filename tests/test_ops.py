@@ -160,3 +160,84 @@ def test_stereo_match_rejects_without_texture():
     uv = jnp.asarray([[128.0, 32.0]], jnp.float32)
     _, _, valid = stereo_match.match(left, right, uv, 32, 8)
     assert not bool(valid[0])
+
+
+def test_stereo_lr_check_rejects_occluded():
+    """A feature visible only in the left image (texture pasted over the
+    right) must fail the left-right round trip even when its ZNCC peak
+    looks confident."""
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 255, (64, 256)).astype(np.float32)
+    # smooth the noise so ZNCC peaks are broad enough to sub-pixel
+    base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 0)) / 3.0
+    d_true = 7.0
+    right = np.roll(base, -int(d_true), axis=1)
+    # occlude the right image around the feature with DIFFERENT texture
+    right[24:40, 109:133] = rng.uniform(0, 255, (16, 24)).astype(np.float32)
+    left = jnp.asarray(base)
+    uv = jnp.asarray([[123.0, 32.0]], jnp.float32)
+    _, _, v_occ = stereo_match.match(left, jnp.asarray(right), uv, 32, 8)
+    assert not bool(v_occ[0]), "occluded match must fail the LR check"
+    # sanity: the un-occluded pair matches fine at d_true
+    right_ok = np.roll(base, -int(d_true), axis=1)
+    disp, _, v_ok = stereo_match.match(left, jnp.asarray(right_ok), uv,
+                                       32, 8)
+    assert bool(v_ok[0]) and abs(float(disp[0]) - d_true) < 0.5
+
+
+def test_refine_disparity_narrow_search():
+    """refine_disparity recovers sub-pixel disparity from a prediction a
+    few px off, and flags predictions off by more than the window."""
+    cfg = SvoConfig()
+    cam = cfg.camera
+    scene = synthetic.default_scene(0)
+    left, right = synthetic.render_stereo(cam, se3.identity(), scene)
+    lv, gxs, gys = pyramid.build_with_gradients(left, cfg.num_levels)
+    det = detector.detect(lv, gxs[0], gys[0], cfg)
+    z_gt = synthetic.gt_depth(cam, se3.identity(), det.uv, scene)
+    d_gt = cam.fx * cam.baseline / np.asarray(z_gt)
+    sel = np.asarray(det.valid) & np.isfinite(d_gt) & (d_gt > 4) & (d_gt < 40)
+    uv = det.uv[np.where(sel)[0][:64]]
+    d_sel = d_gt[np.where(sel)[0][:64]]
+
+    pred = jnp.asarray(d_sel + 2.0, jnp.float32)       # 2 px off
+    disp, zncc, ok = stereo_match.refine_disparity(left, right, uv, pred,
+                                                   window=4, patch=8)
+    m = np.asarray(ok)
+    assert m.mean() > 0.8
+    err = np.abs(np.asarray(disp)[m] - d_sel[m])
+    assert np.median(err) < 0.3, np.median(err)
+    # prediction off by more than the window: the interior gate rejects
+    # most (a peak pinned at the window edge = prediction was wrong), but
+    # repetitive texture can still produce interior peaks — the Beta
+    # outlier model absorbs those; only the RATE must drop sharply
+    pred_far = jnp.asarray(d_sel + 9.0, jnp.float32)
+    _, _, ok_far = stereo_match.refine_disparity(left, right, uv, pred_far,
+                                                 window=4, patch=8)
+    assert np.asarray(ok_far).mean() < m.mean() - 0.3
+
+
+def test_stereo_observe_pulls_drifted_posterior_back():
+    """The per-frame stereo observation must pull an inverse-depth
+    posterior that drifted +10% back toward the (pose-free) stereo depth —
+    the scale-anchor property (BASELINE.md r3 root-cause)."""
+    from stereo_svo_tpu.ops import depth_filter
+
+    cfg = SvoConfig()
+    cam = cfg.camera
+    N = 8
+    z_true = jnp.full((N,), 8.0)
+    d_true = cam.fx * cam.baseline / z_true
+    uv = jnp.tile(jnp.asarray([[300.0, 200.0]], jnp.float32), (N, 1))
+    T_kc = jnp.tile(se3.identity()[None], (N, 1, 1))   # anchor == current
+    mu_drift = (1.0 / z_true) * 0.9                    # depth +11% too far
+    sigma2 = jnp.full((N,), (0.02 / 8.0) ** 2)
+    a = jnp.full((N,), 10.0)
+    b = jnp.full((N,), 10.0)
+    out = depth_filter.stereo_observe_and_update(
+        cam, cfg, T_kc, uv, d_true, jnp.ones(N, bool),
+        mu_drift, sigma2, a, b, jnp.ones(N), jnp.ones(N, bool))
+    assert bool(out.updated.all())
+    z_post = 1.0 / np.asarray(out.mu)
+    z0 = 1.0 / np.asarray(mu_drift)
+    assert (np.abs(z_post - 8.0) < np.abs(z0 - 8.0) - 1e-3).all(), z_post
