@@ -77,12 +77,28 @@ def _emit(payload, gate_fail):
 
 def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
                      perturb=False, seed=0, dt=0.08):
-    """Pre-stage a rendered sequence on device; returns (lefts, rights, gts)."""
+    """Pre-stage a rendered sequence on device; returns (lefts, rights, gts).
+
+    Rendered frames are cached under bench_results/ (gitignored): the
+    ray-cast through the remote PJRT tunnel costs minutes per 100-frame
+    sequence and is identical across runs — the cache is invalidated when
+    io/synthetic.py changes.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from stereo_svo_tpu.io import synthetic
+
+    cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_results")
+    cache = os.path.join(
+        cdir, f"seq_{scene_kind}_{traj_kind}_{cam.width}x{cam.height}"
+              f"_{n_frames}f_p{int(perturb)}_s{seed}_dt{dt}.npz")
+    src_mtime = os.path.getmtime(synthetic.__file__)
+    if os.path.exists(cache) and os.path.getmtime(cache) > src_mtime:
+        d = np.load(cache)
+        return (jnp.asarray(d["l"]), jnp.asarray(d["r"]), d["g"])
 
     scene = synthetic.get_scene(scene_kind, seed)
     render = jax.jit(lambda T: synthetic.render_stereo(cam, T, scene))
@@ -102,7 +118,13 @@ def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
     lefts = jnp.stack(lefts)
     rights = jnp.stack(rights)
     jax.block_until_ready((lefts, rights))
-    return lefts, rights, np.stack(gts)
+    gts = np.stack(gts)
+    try:
+        os.makedirs(cdir, exist_ok=True)
+        np.savez(cache, l=np.asarray(lefts), r=np.asarray(rights), g=gts)
+    except OSError:
+        pass
+    return lefts, rights, gts
 
 
 def _run(n_frames: int, repeats: int = 2, cfg=None,

@@ -35,17 +35,26 @@ traj_kind = os.environ.get("DIAG_TRAJ", "arc")
 
 cam = cfg.camera
 scene = synthetic.get_scene(scene_kind, 0)
-render = jax.jit(lambda T: synthetic.render_stereo(cam, T, scene))
-lefts, rights, gts = [], [], []
-for i in range(N):
-    T = synthetic.trajectory_pose(jnp.asarray(i * 0.08, jnp.float32),
-                                  traj_kind)
-    l, r = render(T)
-    lefts.append(l)
-    rights.append(r)
-    gts.append(np.asarray(T))
-lefts = jnp.stack(lefts)
-rights = jnp.stack(rights)
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      f"seq_{scene_kind}_{traj_kind}_{cam.width}x{cam.height}_{N}.npz")
+if os.path.exists(_cache):
+    _d = np.load(_cache)
+    lefts, rights = jnp.asarray(_d["l"]), jnp.asarray(_d["r"])
+    gts = list(_d["g"])
+else:
+    render = jax.jit(lambda T: synthetic.render_stereo(cam, T, scene))
+    lefts, rights, gts = [], [], []
+    for i in range(N):
+        T = synthetic.trajectory_pose(jnp.asarray(i * 0.08, jnp.float32),
+                                      traj_kind)
+        l, r = render(T)
+        lefts.append(l)
+        rights.append(r)
+        gts.append(np.asarray(T))
+    lefts = jnp.stack(lefts)
+    rights = jnp.stack(rights)
+    np.savez(_cache, l=np.asarray(lefts), r=np.asarray(rights),
+             g=np.stack(gts))
 
 run = jax.jit(lambda l, r: runner.run_sequence_scan(cfg, l, r))
 state, outs = run(lefts, rights)
@@ -57,6 +66,9 @@ ntr = np.asarray(outs.n_tracked)
 kf = np.asarray(outs.kf_inserted)
 md = np.asarray(outs.median_depth)
 af = np.asarray(outs.align_inlier_frac)
+ac = np.asarray(outs.align_cost)
+rr = np.asarray(outs.refine_rms_px)
+ns = np.asarray(outs.n_seeds)
 
 err = ate.ate_rmse(ate.positions(T_wc), ate.positions(gt))
 print(f"cfg={os.environ.get('DIAG_CFG','kitti')} scene={scene_kind} "
@@ -79,8 +91,10 @@ for i in range(1, N):
                   dR[1, 0] - dR[0, 1]])
     ang = np.arctan2(0.5 * np.linalg.norm(w), 0.5 * (np.trace(dR) - 1))
     cum += dt
-    if i % 5 == 0 or kf[i]:
+    if i % 5 == 0 or kf[i] or i >= int(os.environ.get('DIAG_ALL_FROM', '10000')):
         print(f"{i:3d}  {dt[2]*1e3:8.2f} {dt[0]*1e3:8.2f} {dt[1]*1e3:9.2f}"
-              f" {ang*1e3:9.3f} {ntr[i]:4d} {md[i]:6.1f}  {int(kf[i])}")
+              f" {ang*1e3:9.3f} {ntr[i]:4d} {md[i]:6.1f}  {int(kf[i])}"
+              f" | ac {ac[i]:6.1f} inl {af[i]:.2f} rms {rr[i]:4.2f}"
+              f" ns {ns[i]:3d}")
 print(f"cumulative rel-t error (m): fwd={cum[2]:.4f} lat={cum[0]:.4f} "
       f"vert={cum[1]:.4f}")

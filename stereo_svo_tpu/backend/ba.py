@@ -25,6 +25,15 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+# The BA normal equations need true f32 matmuls: TPU default precision
+# feeds the MXU bf16-truncated inputs (preferred_element_type only sets
+# the ACCUMULATOR dtype), which is enough to make GN diverge on
+# driving-scale geometry — measured: identical inputs converge 628->92 on
+# CPU and diverge 737->4383 on TPU at default precision (BASELINE.md r3
+# root-cause #3). HIGHEST runs 3-pass bf16 (exact f32); BA is KF-rate
+# work, the cost is negligible.
+_HI = jax.lax.Precision.HIGHEST
+
 from ..config import CameraConfig, SvoConfig
 from ..geometry import camera as cam_mod
 from ..geometry import se3
@@ -80,21 +89,23 @@ def _linearize(cam: CameraConfig, cfg: SvoConfig,
     Jc = jnp.concatenate([Jproj, Jr3[..., None, :]], axis=-2)  # (K,N,3,3)
 
     # pose rows: d x_c/d(v,w) = [I | -hat(x_c)] for left-multiplied twists
-    J_w = -jnp.einsum("knri,knij->knrj", Jc, se3.hat(x_c))
+    J_w = -jnp.einsum("knri,knij->knrj", Jc, se3.hat(x_c),
+                      precision=_HI)
     Jp = jnp.concatenate([Jc, J_w], axis=-1)              # (K,N,3,6)
     R_kw = se3.rotation(T_kw)                             # (K,3,3)
-    Jl = jnp.einsum("knri,kij->knrj", Jc, R_kw)           # (K,N,3,3)
+    Jl = jnp.einsum("knri,kij->knrj", Jc, R_kw,
+                    precision=_HI)                        # (K,N,3,3)
 
     Hpp = jnp.einsum("knri,knr,knrj->kij", Jp, w, Jp,
-                     preferred_element_type=jnp.float32)  # (K,6,6)
+                     precision=_HI, preferred_element_type=jnp.float32)  # (K,6,6)
     Hll = jnp.einsum("knri,knr,knrj->nij", Jl, w, Jl,
-                     preferred_element_type=jnp.float32)  # (N,3,3)
+                     precision=_HI, preferred_element_type=jnp.float32)  # (N,3,3)
     Hpl = jnp.einsum("knri,knr,knrj->knij", Jp, w, Jl,
-                     preferred_element_type=jnp.float32)  # (K,N,6,3)
+                     precision=_HI, preferred_element_type=jnp.float32)  # (K,N,6,3)
     gp = jnp.einsum("knri,knr,knr->ki", Jp, w, r,
-                    preferred_element_type=jnp.float32)   # (K,6)
+                    precision=_HI, preferred_element_type=jnp.float32)   # (K,6)
     gl = jnp.einsum("knri,knr,knr->ni", Jl, w, r,
-                    preferred_element_type=jnp.float32)   # (N,3)
+                    precision=_HI, preferred_element_type=jnp.float32)   # (N,3)
     cost = jnp.sum(w * r * r)
     return Hpp, Hll, Hpl, gp, gl, cost
 
@@ -118,10 +129,11 @@ def _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam, fixed_mask, reduce_fn=None):
     Hll_inv = solve_ops.inv3x3(Hll_d)                      # (N,3,3)
 
     # S_{k,k'} = δ·Hpp_k − Σ_j Hpl_kj Hll_j^{-1} Hpl_k'j^T
-    W = jnp.einsum("knij,njl->knil", Hpl, Hll_inv)         # (K,N,6,3)
+    W = jnp.einsum("knij,njl->knil", Hpl, Hll_inv,
+                   precision=_HI)                          # (K,N,6,3)
     S_off = jnp.einsum("knil,mnjl->kmij", W, Hpl,
-                       preferred_element_type=jnp.float32)  # (K,K,6,6)
-    rhs_l = jnp.einsum("knil,nl->ki", W, gl)               # (K,6)
+                       precision=_HI, preferred_element_type=jnp.float32)  # (K,K,6,6)
+    rhs_l = jnp.einsum("knil,nl->ki", W, gl, precision=_HI)  # (K,6)
 
     # cross-shard reduction of everything that sums over landmarks
     Hpp = reduce_fn(Hpp)
@@ -134,10 +146,19 @@ def _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam, fixed_mask, reduce_fn=None):
     S = S.at[jnp.arange(K), jnp.arange(K)].add(diag)
     rhs = -(gp - rhs_l)                                    # (K,6)
 
-    # Gauge fixing: huge prior on fixed poses pins their deltas to ~0.
-    big = 1e12
+    # Gauge fixing by EXACT elimination: zero the fixed poses' rows,
+    # columns, and rhs; identity on their diagonal → their delta solves
+    # to exactly 0 and the free block keeps its natural conditioning.
+    # (The previous 1e12 diagonal prior made the f32 reduced system's
+    # condition number gauge-dominated — the fixed-iteration Jacobi CG
+    # returned garbage steps on driving-scale data: measured cost
+    # 890 → 332k, a 57 m pose step, silently absorbed by the divergence
+    # guard; BASELINE.md r3 root-cause #3.)
+    free = (1.0 - fixed_mask)
+    S = S * free[:, None, None, None] * free[None, :, None, None]
     S = S.at[jnp.arange(K), jnp.arange(K)].add(
-        big * fixed_mask[:, None, None] * jnp.eye(6, dtype=S.dtype)[None])
+        fixed_mask[:, None, None] * jnp.eye(6, dtype=S.dtype)[None])
+    rhs = rhs * free[:, None]
 
     S_flat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
     rhs_flat = rhs.reshape(6 * K)
@@ -165,8 +186,10 @@ def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
     # iteration count keeps the graph static; matvecs are MXU matmuls.
     dp = solve_ops.cg_solve(S, rhs, iters=40).reshape(K, 6)  # (K,6)
     # Back-substitute landmarks: δl = -Hll⁻¹ (gl + Hlpᵀ·δp)
-    Hlp_dp = jnp.einsum("knij,ki->nj", Hpl, dp)            # (N,3)
-    dl = -jnp.einsum("nij,nj->ni", Hll_inv, gl + Hlp_dp)
+    Hlp_dp = jnp.einsum("knij,ki->nj", Hpl, dp,
+                        precision=_HI)                     # (N,3)
+    dl = -jnp.einsum("nij,nj->ni", Hll_inv, gl + Hlp_dp,
+                     precision=_HI)
     # clamp pathological steps (masked/degenerate landmarks)
     dl = jnp.clip(dl, -1.0, 1.0)
     dp = dp * (1.0 - fixed_mask)[:, None]
@@ -193,6 +216,7 @@ def bundle_adjust(cam: CameraConfig, cfg: SvoConfig,
                   obs_disp: jnp.ndarray | None = None,
                   obs_dmask: jnp.ndarray | None = None,
                   obs_sig: jnp.ndarray | None = None,
+                  kf_stamp: jnp.ndarray | None = None,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, BAStats]:
     """Window BA over the keyframe ring buffer + landmark set.
 
@@ -200,8 +224,10 @@ def bundle_adjust(cam: CameraConfig, cfg: SvoConfig,
     right-camera u is obs_uv[...,0] − disp). When omitted the solve is
     monocular (legacy / testing only — scale then rides the gauge).
 
-    Gauge: the oldest valid keyframe is held fixed. Dead keyframes /
-    landmarks participate with zero weights (masked dense formulation).
+    Gauge: the oldest valid keyframe (by kf_stamp when given — slot order
+    does NOT follow age under least-owned eviction) is held fixed. Dead
+    keyframes / landmarks participate with zero weights (masked dense
+    formulation).
     """
     K = kf_T_wk.shape[0]
     T_kw = se3.inverse(kf_T_wk)
@@ -211,9 +237,11 @@ def bundle_adjust(cam: CameraConfig, cfg: SvoConfig,
     obs_ur = obs_uv[..., 0] - obs_disp
     w_rows = obs_weights(kf_valid, X_mask, obs_mask, obs_dmask)
 
-    # oldest valid KF = ring-order-first: approximate with the lowest slot
-    # index among valid (ring order tracked by caller via kf_next if needed)
-    first_valid = jnp.argmax(kf_valid)     # first True
+    if kf_stamp is not None:
+        big = jnp.asarray(2 ** 30, kf_stamp.dtype)
+        first_valid = jnp.argmin(jnp.where(kf_valid, kf_stamp, big))
+    else:
+        first_valid = jnp.argmax(kf_valid)     # first True (legacy)
     fixed_mask = (jnp.arange(K) == first_valid).astype(jnp.float32)
     fixed_mask = jnp.clip(
         fixed_mask + (1.0 - kf_valid.astype(jnp.float32)), 0.0, 1.0)

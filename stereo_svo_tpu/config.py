@@ -129,6 +129,17 @@ class SvoConfig:
     refine_outlier_px: float = 4.0 # reprojection error to kill a feature
     refine_irls_chunks: int = 3    # Jacobian/weight refreshes (see
                                    # align_irls_chunks; same TPU rationale)
+    refine_prior_t_sig: float = 0.05  # constant-velocity motion prior in
+                                   # the refiner (m, rad; 0 disables):
+                                   # loose enough to be invisible against
+                                   # healthy feature sets, caps the
+                                   # single-frame forward excursions a
+                                   # far-dominated set cannot observe —
+                                   # which the distance-triggered KF
+                                   # policy would otherwise anchor a
+                                   # keyframe at (BASELINE.md r3
+                                   # KITTI-geometry root cause)
+    refine_prior_r_sig: float = 0.02
 
     # --- depth filter (ref: DepthFilter) ---
     seed_sigma_ratio: float = 0.05  # convergence: sigma < ratio * depth_range
@@ -184,6 +195,13 @@ class SvoConfig:
     use_ba: bool = True            # run window BA at each KF insertion
     ba_iters: int = 5              # GN/LM outer iterations
     ba_huber_px: float = 2.0
+    ba_trust_t: float = 0.10       # divergence guard: max translation /
+    ba_trust_r: float = 0.05       # rotation the BA may move the newest
+                                   # keyframe (reject the step beyond it).
+                                   # Scale with scene depth: a 0.10 m cap
+                                   # sized for EuRoC-scale scenes blocks
+                                   # BA from repairing a mis-anchored
+                                   # keyframe on driving-scale scenes
 
     # --- place recognition / loop closure (backend/loop_closure.py) ---
     # The reference has no loop closure (SVO is pure odometry); the pose
@@ -286,7 +304,10 @@ def kitti_config() -> SvoConfig:
         fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
         baseline=0.5371657, width=1241, height=376),
         grid_rows=10, grid_cols=24, max_features=240,
-        stereo_max_disp=128)
+        stereo_max_disp=128,
+        # driving-scale scenes (5-60 m): let BA move a mis-anchored
+        # keyframe far enough to matter
+        ba_trust_t=0.40, ba_trust_r=0.05)
 
 
 def stress_config() -> SvoConfig:

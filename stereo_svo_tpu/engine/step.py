@@ -61,7 +61,7 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
     kf_T_wk, X_new, stats = ba_mod.bundle_adjust(
         cam, cfg, st.kf_T_wk, st.kf_valid, X, X_mask,
         st.obs_uv, st.obs_mask, st.obs_disp, st.obs_dmask,
-        obs_sig=st.obs_sig)
+        obs_sig=st.obs_sig, kf_stamp=st.kf_stamp)
 
     # Divergence guards: a GN step on adversarial data (gross outliers past
     # the gates) must never corrupt the map. Accept only if (a) cost
@@ -71,7 +71,7 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
     # alignment template chain irrecoverably (observed failure mode).
     dr, dt = se3.distance(kf_T_wk[st.last_kf], st.kf_T_wk[st.last_kf])
     ok = ((stats.cost_final < stats.cost_initial)
-          & (dt < 0.10) & (dr < 0.05))
+          & (dt < cfg.ba_trust_t) & (dr < cfg.ba_trust_r))
     kf_T_wk = jnp.where(ok, kf_T_wk, st.kf_T_wk)
     X_new = jnp.where(ok, X_new, X)
 
@@ -231,9 +231,13 @@ def make_phases(cfg: SvoConfig):
             # per-feature noise: a feature detected at pyramid level L
             # localizes to ~2^L px (SURVEY.md §2.1 detector row)
             obs_sigma = jnp.exp2(st.feat_level.astype(jnp.float32))
+            # motion prior target: the same prediction that seeded the
+            # align (constant velocity, or the relocalization pose after
+            # a failure) composed to a world→camera pose
+            T_prior = se3.compose(T_init, st.T_pw)
             T_cw, inliers, refine_stats = pose_refine.refine(
                 cam, cfg, T_cw_pred, X_w, uv_ref, tracked,
-                obs_sigma=obs_sigma)
+                obs_sigma=obs_sigma, T_prior=T_prior)
             n_inl = refine_stats["refine_inliers"]
             ok = (n_inl >= 10) & jnp.all(jnp.isfinite(T_cw))
             # Failed frame: do NOT commit the diverging estimate — anchor
@@ -336,7 +340,16 @@ def make_phases(cfg: SvoConfig):
             # --- 6. keyframe decision (SURVEY.md §3.1 policy) ---
             z_cur = se3.transform(T_cw, world_points(cfg, st))[..., 2]
             med_depth = _masked_median(z_cur, st.status > 0)
-            c_cur = se3.translation(se3.inverse(T_cw))
+            # Distance trigger from the PREDICTED (constant-velocity)
+            # center, not the per-frame estimate: the estimate's noise is
+            # largest along weakly-observed axes, and triggering on it
+            # preferentially fires the keyframe on exactly the frames
+            # whose pose excursed the most — anchoring the new keyframe
+            # (and all its seeds) at the excursion (measured: +70 mm of
+            # immortalized forward error per distance-KF on the
+            # KITTI-geometry road run; BASELINE.md r3). The prediction is
+            # smooth, so trigger timing decorrelates from estimate noise.
+            c_cur = se3.translation(se3.inverse(T_prior))
             c_kf = se3.translation(st.kf_T_wk[st.last_kf])
             kf_dist = jnp.linalg.norm(c_cur - c_kf)
             # Probation after a tracking failure: the first recovered frame

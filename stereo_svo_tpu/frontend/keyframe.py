@@ -195,10 +195,20 @@ def insert(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
     window = jnp.maximum(cfg.stereo_consist_px,
                          cfg.stereo_consist_rel * disp_all)
     consistent = jnp.abs(disp_all - disp_pred) < window
+    # Slot-reuse hygiene: a feature slot newly assigned THIS insert holds a
+    # brand-new landmark — observation columns of that slot in OLDER
+    # keyframes belong to the dead previous occupant. Leaving them masked-
+    # in associates the new landmark with the old feature's pixels and the
+    # window BA drags poses to fit the mismatch while its cost still
+    # decreases (measured: the dominant error source of the KITTI-geometry
+    # road run — BA moved each new keyframe up to 338 mm forward;
+    # BASELINE.md r3 root-cause #3).
+    obs_mask_clean = state.obs_mask & ~new_rows[None, :]
+    obs_dmask_clean = state.obs_dmask & ~new_rows[None, :]
     obs_uv = state.obs_uv.at[slot].set(feat_uv)
-    obs_mask = state.obs_mask.at[slot].set(status > 0)
+    obs_mask = obs_mask_clean.at[slot].set(status > 0)
     obs_disp = state.obs_disp.at[slot].set(disp_all)
-    obs_dmask = state.obs_dmask.at[slot].set(
+    obs_dmask = obs_dmask_clean.at[slot].set(
         disp_ok & consistent & (status > 0))
     obs_sig = state.obs_sig.at[slot].set(
         jnp.exp2(feat_level.astype(jnp.float32)))

@@ -21,7 +21,8 @@ from ..ops import solve
 
 def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
            X_world: jnp.ndarray, uv_obs: jnp.ndarray,
-           mask: jnp.ndarray, obs_sigma: jnp.ndarray | None = None
+           mask: jnp.ndarray, obs_sigma: jnp.ndarray | None = None,
+           T_prior: jnp.ndarray | None = None
            ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Refine T_cw so that projected landmarks match observed positions.
 
@@ -34,11 +35,27 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
         §2.1 detector row). Residuals are whitened by it: the Huber
         threshold, the information weight (1/σ²), and the outlier gate
         all scale with σ.
+      T_prior: optional (3,4) motion-prior pose (the constant-velocity
+        prediction). Adds a Gaussian prior ½‖log(T∘T_prior⁻¹)‖²_Λ with
+        Λ = diag(1/σ_t², 1/σ_r²) from cfg.refine_prior_t_sig/_r_sig.
+        Purpose (BASELINE.md r3 KITTI-geometry root-cause): when the
+        tracked feature set goes far-dominated, the forward axis is
+        weakly observed and single frames can excurse 100-400 mm — the
+        distance-triggered keyframe policy then anchors a keyframe AT the
+        excursion, immortalizing it. A loose prior (default 50 mm) is
+        invisible against healthy data and caps exactly those
+        excursions. Disabled when cfg.refine_prior_t_sig == 0.
     Returns: (T_cw, inlier_mask, stats).
     """
     sig = jnp.ones(X_world.shape[0], jnp.float32) if obs_sigma is None \
         else obs_sigma
     inv_s2 = 1.0 / (sig * sig)
+    use_prior = T_prior is not None and cfg.refine_prior_t_sig > 0.0
+    if use_prior:
+        lam = jnp.concatenate([
+            jnp.full(3, 1.0 / cfg.refine_prior_t_sig ** 2),
+            jnp.full(3, 1.0 / max(cfg.refine_prior_r_sig, 1e-6) ** 2)])
+        T_prior_inv = se3.inverse(T_prior)
 
     def residual(T):
         x_c = se3.transform(T, X_world)                     # (N,3)
@@ -64,6 +81,10 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
                        preferred_element_type=jnp.float32)
         g = jnp.einsum("nri,n,nr->i", J, w, r,
                        preferred_element_type=jnp.float32)
+        if use_prior:
+            xi = se3.log(se3.compose(T, T_prior_inv))
+            H = H + jnp.diag(lam)
+            g = g + lam * xi
         H = H + 1e-8 * jnp.eye(6, dtype=H.dtype) \
             + 1e-4 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
         rhs = jnp.concatenate([jnp.eye(6, dtype=H.dtype), g[None]])

@@ -105,7 +105,10 @@ def cg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 25,
     Minv = 1.0 / jnp.maximum(jnp.abs(diag), 1e-12)
 
     def mv(v):
-        return jnp.einsum("...ij,...j->...i", A, v)
+        # true-f32 matvec: default TPU precision (bf16 inputs) is too
+        # coarse for CG on normal equations (see backend/ba.py note)
+        return jnp.einsum("...ij,...j->...i", A, v,
+                          precision=jax.lax.Precision.HIGHEST)
 
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - mv(x)
