@@ -148,16 +148,23 @@ def _run(n_frames: int, repeats: int = 2, cfg=None,
     jax.block_until_ready(outs.T_wc)
 
     best = float("inf")
-    for _ in range(repeats):
+    valid = 0
+    for _ in range(max(repeats * 3, 6)):
         t0 = time.perf_counter()
         state, outs = run(lefts, rights)
+        # Through the remote PJRT tunnel block_until_ready can return
+        # before the computation actually finishes (observed r1
+        # occasionally, chronic by r3: ~0.3 ms for a 100-frame scan while
+        # the RESULTS are still correct later). A device→host fetch of a
+        # tiny output is the only reliable completion barrier.
+        np.asarray(outs.tracking_ok)
         jax.block_until_ready((state, outs))
         dt = time.perf_counter() - t0
-        # guard against async-dispatch artifacts through the remote PJRT
-        # tunnel (observed once: block_until_ready returned in ~0.3 ms →
-        # absurd fps); a full-pipeline frame can't be faster than ~0.1 ms
         if dt > n_frames * 1e-4:
             best = min(best, dt)
+            valid += 1
+            if valid >= repeats:
+                break
     fps = n_frames / best if best < float("inf") else float("nan")
 
     est_T = np.asarray(outs.T_wc)
@@ -236,13 +243,18 @@ def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2,
     _, outs = run(lefts, rights)
     jax.block_until_ready(outs.T_wc)
     best = float("inf")
-    for _ in range(repeats):
+    valid = 0
+    for _ in range(max(repeats * 3, 6)):
         t0 = time.perf_counter()
         st, outs = run(lefts, rights)
+        np.asarray(outs.tracking_ok)     # true completion barrier (see _run)
         jax.block_until_ready((st, outs))
         dt = time.perf_counter() - t0
         if dt > n_frames * 1e-4:     # see artifact guard in _run
             best = min(best, dt)
+            valid += 1
+            if valid >= repeats:
+                break
     ok = float(np.asarray(outs.tracking_ok).mean())
     fps = batch * n_frames / best if best < float("inf") else float("nan")
     est = np.asarray(outs.T_wc)                       # (B, T, 3, 4)
@@ -332,14 +344,22 @@ def main():
         fps, err, n_kf, ok, rp = _run(N_FRAMES, cfg=kitti_config(),
                                       scene_kind=scene_k, perturb=perturb,
                                       traj_kind=traj_k)
+        # per-path ATE bound: the road sequence travels ~16 m through a
+        # 4-60 m scene — 0.25 m ≈ 1.5% of travel, the upper end of
+        # published stereo-VO drift on KITTI (BASELINE.md r3 analysis;
+        # current measured 0.17 ≈ 1.1%). The EuRoC-scale 0.02 m bound is
+        # not meaningful at driving scale.
+        kitti_gate = float(os.environ.get("BENCH_ATE_GATE", "0.25"))
         _emit({
             "metric": "frames_per_s_per_chip_kitti_geom_1241x376",
             "value": round(fps, 2), "unit": "frames/s",
             "vs_baseline": None, "ate_rmse_m": round(err, 4),
+            "ate_gate_m": kitti_gate,
             "rpe_t_m": round(rp[0], 5), "rpe_r_rad": round(rp[1], 5),
             "tracking_ok_frac": round(ok, 4), "keyframes": n_kf,
             "scene": scene_k, "traj": traj_k, "perturb": perturb,
-            "n_frames": N_FRAMES}, _check_gates(err, ok))
+            "n_frames": N_FRAMES}, _check_gates(err, ok,
+                                                ate_gate=kitti_gate))
         return
 
     fps, err, n_kf, ok, rp = _run(N_FRAMES, scene_kind=scene_kind,

@@ -78,15 +78,18 @@ class SvoConfig:
     align_patch: int = 4           # photometric patch (ref SVO uses 4x4)
     align_max_iters: int = 10      # GN iterations per level (when no
                                    # per-level schedule is set)
-    align_iters_per_level: tuple | None = None
-                                   # optional per-level GN iteration
-                                   # schedule, coarse→fine (len ==
-                                   # align_levels - align_min_level).
-                                   # Coarse levels converge in 2-3 steps
-                                   # with the constant-velocity prior;
-                                   # each ~15 µs TPU GN pass saved is
-                                   # pure latency win (the align loop is
-                                   # dispatch-bound, not FLOP-bound)
+    align_iters_per_level: tuple | None = (2, 3, 4, 8)
+                                   # per-level GN iteration schedule,
+                                   # coarse→fine; longer schedules align
+                                   # to the finest levels, None = flat
+                                   # align_max_iters. Coarse levels
+                                   # converge in 2-3 steps under the
+                                   # constant-velocity prior; each saved
+                                   # pass is a sampling einsum + a
+                                   # serial 6x6 solve. Measured (r3,
+                                   # EuRoC-geometry bench): (2,3,4,8) →
+                                   # 659 fps @ ATE 0.0103 vs flat-10 →
+                                   # ~520 @ 0.0106
     align_levels: int = 4          # coarse-to-fine levels used for alignment
     align_min_level: int = 0       # finest level in alignment. min_level=1
                                    # (SVO-style) gives +18% fps but 3x ATE

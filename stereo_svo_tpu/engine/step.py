@@ -176,7 +176,8 @@ def make_phases(cfg: SvoConfig):
             reloc, reloc_score = loop_closure.relocalize(
                 st.mem_desc, st.mem_valid, pyr_l[cfg.num_levels - 1],
                 cfg.loop_desc_rows, cfg.loop_desc_cols,
-                n_rot=cfg.pr_rot_variants, rot_step=cfg.pr_rot_step_rad)
+                n_rot=cfg.pr_rot_variants, rot_step=cfg.pr_rot_step_rad,
+                rot_gate=~st.tracking_ok)
             # On a textureless/blackout frame the query descriptor
             # degenerates to ~zero: every bank entry scores ~0 and argmax
             # returns an arbitrary (possibly distant) keyframe. Below the

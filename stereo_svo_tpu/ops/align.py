@@ -116,9 +116,14 @@ def align(levels_cur: Sequence[jnp.ndarray], tmpl: Template,
 
     lvl_list = _level_list(cfg)
     schedule = cfg.align_iters_per_level
-    if schedule is not None and len(schedule) != len(lvl_list):
-        raise ValueError("align_iters_per_level length must equal the "
-                         "number of align levels")
+    if schedule is not None:
+        if len(schedule) < len(lvl_list):
+            raise ValueError("align_iters_per_level shorter than the "
+                             "number of align levels")
+        # longer schedules align to the FINEST levels (coarse→fine order;
+        # extra coarse entries dropped) so one default schedule serves
+        # configs with fewer align levels
+        schedule = schedule[len(schedule) - len(lvl_list):]
 
     for li, lv in enumerate(lvl_list):
         img = levels_cur[lv]
