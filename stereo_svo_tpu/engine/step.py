@@ -277,7 +277,7 @@ def make_phases(cfg: SvoConfig):
             seeds = seeds_klt
             n_epi = jnp.asarray(0, jnp.int32)
             if cfg.epi_samples > 0:
-                lv_e = min(cfg.epi_level, cfg.klt_levels - 1)
+                lv_e = cfg.epi_level   # validated ≤ klt_levels-1 in config
                 lost_seed = (ok & (status == STATUS_SEED)
                              & ~(tracked & inliers) & st.klt_tmpl.mask)
                 uv_epi, epi_ok, _ = depth_filter.epipolar_search(
@@ -315,9 +315,12 @@ def make_phases(cfg: SvoConfig):
                 # KLT-verified positions only: an untracked feature's
                 # feat_uv is the pose prediction, whose left patch may not
                 # be the feature — measuring disparity there would fold a
-                # wrong ray's depth into the posterior
-                stereo_seeds = (ok & (status == STATUS_SEED)
-                                & tracked & inliers)
+                # wrong ray's depth into the posterior. LANDMARKS included:
+                # their depth is otherwise frozen between BA calls, and the
+                # residual +2-3% landmark bias was the tail of the road
+                # scale drift (the posterior's tiny converged σ² makes each
+                # stereo observation a gentle correction, not a jump).
+                stereo_seeds = ok & (status > 0) & tracked & inliers
                 upd2 = depth_filter.stereo_observe_and_update(
                     cam, cfg, se3.inverse(T_ck), feat_uv, disp_m, ok_m,
                     upd.mu, upd.sigma2, upd.a, upd.b, st.z_range,
