@@ -47,6 +47,7 @@ import time
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
 N_CPU_FRAMES = int(os.environ.get("BENCH_CPU_FRAMES", "10"))
+N_VALID = int(os.environ.get("BENCH_VALID_RUNS", "5"))
 ATE_GATE_M = float(os.environ.get("BENCH_ATE_GATE", "0.02"))
 TRACK_GATE = float(os.environ.get("BENCH_TRACK_GATE", "0.99"))
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -127,11 +128,13 @@ def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
     return lefts, rights, gts
 
 
-def _run(n_frames: int, repeats: int = 2, cfg=None,
+def _run(n_frames: int, repeats: int | None = None, cfg=None,
          scene_kind: str = "planes", perturb: bool = False,
          traj_kind: str = "arc"):
     """Render a sequence and time the scan-based pipeline. Returns
-    (fps, ate_rmse, n_kf, tracking_ok, (rpe_t, rpe_r))."""
+    (fps, ate_rmse, n_kf, tracking_ok, (rpe_t, rpe_r), timing_dict).
+    ``repeats`` = valid timing runs to take the median over (default
+    BENCH_VALID_RUNS)."""
     import jax
     import numpy as np
 
@@ -143,36 +146,77 @@ def _run(n_frames: int, repeats: int = 2, cfg=None,
     lefts, rights, gt_T = _render_sequence(
         cfg.camera, n_frames, scene_kind, traj_kind, perturb)
 
-    run = jax.jit(lambda l, r: runner.run_sequence_scan(cfg, l, r))
-    state, outs = run(lefts, rights)           # compile + warmup
-    jax.block_until_ready(outs.T_wc)
+    def timed_median(l, r, n, n_valid):
+        """Median wall time of the scan over `n` frames + discard count.
 
-    best = float("inf")
-    valid = 0
-    for _ in range(max(repeats * 3, 6)):
-        t0 = time.perf_counter()
-        state, outs = run(lefts, rights)
-        # Through the remote PJRT tunnel block_until_ready can return
-        # before the computation actually finishes (observed r1
-        # occasionally, chronic by r3: ~0.3 ms for a 100-frame scan while
-        # the RESULTS are still correct later). A device→host fetch of a
-        # tiny output is the only reliable completion barrier.
+        Pinned timing procedure (VERDICT r3 next #9): collect n_valid
+        valid runs, take the MEDIAN (not best — "chip got faster" must
+        not be confusable with "host got quieter") and count the runs
+        the timing-artifact guard discards.
+        """
+        run = jax.jit(lambda a, b: runner.run_sequence_scan(cfg, a, b))
+        state, outs = run(l, r)           # compile + warmup
         np.asarray(outs.tracking_ok)
-        jax.block_until_ready((state, outs))
-        dt = time.perf_counter() - t0
-        if dt > n_frames * 1e-4:
-            best = min(best, dt)
-            valid += 1
-            if valid >= repeats:
-                break
-    fps = n_frames / best if best < float("inf") else float("nan")
+        jax.block_until_ready(state)
+        times, n_disc = [], 0
+        for _ in range(n_valid * 3):
+            t0 = time.perf_counter()
+            state, outs = run(l, r)
+            # Through the remote PJRT tunnel block_until_ready can return
+            # before the computation actually finishes (observed r1
+            # occasionally, chronic by r3: ~0.3 ms for a 100-frame scan
+            # while the RESULTS are still correct later). A device→host
+            # fetch of a tiny output is the only reliable completion
+            # barrier.
+            np.asarray(outs.tracking_ok)
+            jax.block_until_ready((state, outs))
+            dt = time.perf_counter() - t0
+            if dt > n * 1e-4:
+                times.append(dt)
+                if len(times) >= n_valid:
+                    break
+            else:
+                n_disc += 1
+        med = float(np.median(times)) if times else float("nan")
+        return med, times, n_disc, outs
+
+    n_valid = repeats or N_VALID
+    t_full, times, n_discarded, outs = timed_median(
+        lefts, rights, n_frames, n_valid)
+    # Two-point slope fit: the remote-PJRT tunnel charges a fixed ~60 ms
+    # per RUN (dispatch + completion fetch) regardless of sequence length
+    # (measured: 84/108/132/181 ms at 20/40/60/100 frames — see
+    # bench_results/diag_scan_slope.py). That constant is a sandbox
+    # artifact, not pipeline cost (local-device dispatch is ~µs), and at
+    # n=100 it buried a third of the frame budget. The headline fps uses
+    # the slope (true per-frame cost); the raw single-run number is kept
+    # alongside.
+    n_half = n_frames // 2
+    t_half, _, disc_h, _ = timed_median(
+        lefts[:n_half], rights[:n_half], n_half, n_valid)
+    n_discarded += disc_h
+    slope_s = (t_full - t_half) / (n_frames - n_half)
+    fps = 1.0 / slope_s if slope_s > 0 else float("nan")
+    fps_raw = n_frames / t_full
+    overhead_ms = (t_full - slope_s * n_frames) * 1e3
+    spread_pct = (100.0 * (max(times) - min(times)) / t_full
+                  if times else float("nan"))
 
     est_T = np.asarray(outs.T_wc)
     err = ate.ate_rmse(ate.positions(est_T), ate.positions(gt_T))
     rpe_t, rpe_r = ate.rpe(est_T, gt_T)
     n_kf = int(np.asarray(outs.kf_inserted).sum())
     ok = float(np.asarray(outs.tracking_ok).mean())
-    return fps, err, n_kf, ok, (rpe_t, rpe_r)
+    timing = {"n_timing_runs": len(times), "n_discarded": n_discarded,
+              "timing_spread_pct": round(spread_pct, 1),
+              "fps_raw_single_run": round(fps_raw, 2),
+              "per_run_overhead_ms": round(overhead_ms, 1),
+              "timing_method": f"slope over n={n_half},{n_frames} "
+                               "(excludes fixed per-run remote-PJRT "
+                               "dispatch+fetch; see BASELINE.md r4)",
+              "gt_travel_m": round(float(np.sum(np.linalg.norm(
+                  np.diff(ate.positions(gt_T), axis=0), axis=-1))), 2)}
+    return fps, err, n_kf, ok, (rpe_t, rpe_r), timing
 
 
 def _cpu_baseline() -> float:
@@ -200,7 +244,7 @@ def _cpu_baseline() -> float:
         return float("nan")
 
 
-def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2,
+def _run_batched(n_frames: int, batch: int = 8,
                  kf_every: int = 1):
     """Config #4: `batch` sequences vmapped on one chip; aggregate fps.
 
@@ -239,28 +283,38 @@ def _run_batched(n_frames: int, batch: int = 8, repeats: int = 2,
     rights = jnp.stack(rights)
     jax.block_until_ready((lefts, rights))
 
-    run = jax.jit(lambda l, r: runner.run_sequence_batched(cfg, l, r))
-    _, outs = run(lefts, rights)
-    jax.block_until_ready(outs.T_wc)
-    best = float("inf")
-    valid = 0
-    for _ in range(max(repeats * 3, 6)):
-        t0 = time.perf_counter()
-        st, outs = run(lefts, rights)
-        np.asarray(outs.tracking_ok)     # true completion barrier (see _run)
-        jax.block_until_ready((st, outs))
-        dt = time.perf_counter() - t0
-        if dt > n_frames * 1e-4:     # see artifact guard in _run
-            best = min(best, dt)
-            valid += 1
-            if valid >= repeats:
-                break
+    def timed(l, r, n):
+        run = jax.jit(lambda a, b: runner.run_sequence_batched(cfg, a, b))
+        st, outs = run(l, r)
+        np.asarray(outs.tracking_ok)
+        jax.block_until_ready(st)
+        times, n_disc = [], 0
+        for _ in range(N_VALID * 3):      # pinned procedure — see _run
+            t0 = time.perf_counter()
+            st, outs = run(l, r)
+            np.asarray(outs.tracking_ok)  # completion barrier (see _run)
+            jax.block_until_ready((st, outs))
+            dt = time.perf_counter() - t0
+            if dt > n * 1e-4:     # see artifact guard in _run
+                times.append(dt)
+                if len(times) >= N_VALID:
+                    break
+            else:
+                n_disc += 1
+        return (float(np.median(times)) if times else float("nan"),
+                n_disc, outs)
+
+    t_full, n_disc, outs = timed(lefts, rights, n_frames)
+    n_half = n_frames // 2
+    t_half, disc_h, _ = timed(lefts[:, :n_half], rights[:, :n_half], n_half)
     ok = float(np.asarray(outs.tracking_ok).mean())
-    fps = batch * n_frames / best if best < float("inf") else float("nan")
+    # slope fit, see _run: per-run tunnel overhead excluded
+    fps = batch * (n_frames - n_half) / (t_full - t_half)
     est = np.asarray(outs.T_wc)                       # (B, T, 3, 4)
     errs = [ate.ate_rmse(ate.positions(est[b]), ate.positions(gts))
             for b in range(batch)]
-    return fps, ok, float(np.max(errs)), float(np.mean(errs))
+    return (fps, ok, float(np.max(errs)), float(np.mean(errs)),
+            n_disc + disc_h)
 
 
 def _run_latency(n_frames: int, cfg=None):
@@ -293,14 +347,23 @@ def _run_latency(n_frames: int, cfg=None):
         kf.append(bool(np.asarray(out.kf_inserted)))
     lat = np.asarray(lat) * 1e3
     kf = np.asarray(kf)
+    # Tail forensics (VERDICT r3 next #9: count and explain the p99
+    # spike): which frames spiked >3x the median, and are they KF frames?
+    # A recompile would pin the spike to a deterministic frame at ~seconds
+    # scale; a tunnel hiccup lands on arbitrary frames at ~100s of ms.
+    p50 = float(np.percentile(lat, 50))
+    spikes = np.where(lat > 3.0 * p50)[0]
     stats = {
-        "latency_p50_ms": round(float(np.percentile(lat, 50)), 3),
+        "latency_p50_ms": round(p50, 3),
         "latency_p95_ms": round(float(np.percentile(lat, 95)), 3),
         "latency_p99_ms": round(float(np.percentile(lat, 99)), 3),
         "latency_kf_mean_ms": round(float(lat[kf].mean()), 3)
         if kf.any() else None,
         "latency_nonkf_mean_ms": round(float(lat[~kf].mean()), 3),
         "n_kf_frames": int(kf.sum()),
+        "latency_spike_frames": [int(i) + 1 for i in spikes[:8]],
+        "latency_spike_ms": [round(float(lat[i]), 1) for i in spikes[:8]],
+        "latency_spikes_on_kf": int(kf[spikes].sum()) if spikes.size else 0,
     }
     return stats
 
@@ -311,7 +374,7 @@ def main():
     perturb = os.environ.get("BENCH_PERTURB") == "1"
 
     if os.environ.get("BENCH_MODE") == "cpu":
-        fps, err, n_kf, ok, _ = _run(N_CPU_FRAMES, repeats=1)
+        fps, err, n_kf, ok, _, _ = _run(N_CPU_FRAMES)
         print(json.dumps({"metric": "frames_per_s_cpu", "value": fps,
                           "unit": "frames/s", "vs_baseline": 1.0}))
         return
@@ -320,16 +383,19 @@ def main():
         # North-star config #3: 5-level pyramids, 2048 seeds, 752x480
         # (config.stress_config) through the same scan runner.
         from stereo_svo_tpu.config import stress_config
-        fps, err, n_kf, ok, rp = _run(N_FRAMES, cfg=stress_config(),
-                                      scene_kind=scene_kind, perturb=perturb,
-                                      traj_kind=traj_kind)
-        _emit({
+        fps, err, n_kf, ok, rp, tim = _run(N_FRAMES, cfg=stress_config(),
+                                           scene_kind=scene_kind,
+                                           perturb=perturb,
+                                           traj_kind=traj_kind)
+        payload = {
             "metric": "frames_per_s_per_chip_stress_2048seeds_5lvl_752x480",
             "value": round(fps, 2), "unit": "frames/s",
             "vs_baseline": None, "ate_rmse_m": round(err, 4),
             "rpe_t_m": round(rp[0], 5), "rpe_r_rad": round(rp[1], 5),
             "tracking_ok_frac": round(ok, 4), "keyframes": n_kf,
-            "n_frames": N_FRAMES}, _check_gates(err, ok))
+            "n_frames": N_FRAMES}
+        payload.update(tim)
+        _emit(payload, _check_gates(err, ok))
         return
 
     if os.environ.get("BENCH_GEOM") == "kitti":
@@ -339,37 +405,46 @@ def main():
         # the forward-dominant 'kitti' kind over the deep 'road' scene —
         # the motion/geometry class the EuRoC arc never exercises.
         from stereo_svo_tpu.config import kitti_config
-        scene_k = os.environ.get("BENCH_SCENE", "road")
+        # long runs (BENCH_FRAMES >= 300) drive past the default scene's
+        # 60 m backdrop — use the 180 m corridor variant
+        scene_k = os.environ.get(
+            "BENCH_SCENE", "road" if N_FRAMES < 300 else "road_long")
         traj_k = os.environ.get("BENCH_TRAJ", "kitti")
-        fps, err, n_kf, ok, rp = _run(N_FRAMES, cfg=kitti_config(),
-                                      scene_kind=scene_k, perturb=perturb,
-                                      traj_kind=traj_k)
-        # per-path ATE bound: the road sequence travels ~16 m through a
-        # 4-60 m scene — 0.25 m ≈ 1.5% of travel, the upper end of
-        # published stereo-VO drift on KITTI (BASELINE.md r3 analysis;
-        # current measured 0.17 ≈ 1.1%). The EuRoC-scale 0.02 m bound is
-        # not meaningful at driving scale.
-        kitti_gate = float(os.environ.get("BENCH_ATE_GATE", "0.25"))
-        _emit({
+        fps, err, n_kf, ok, rp, tim = _run(N_FRAMES, cfg=kitti_config(),
+                                           scene_kind=scene_k,
+                                           perturb=perturb,
+                                           traj_kind=traj_k)
+        # per-path ATE bound: 1.5% of actual GT travel — the upper end of
+        # published stereo-VO drift on KITTI (BASELINE.md r3 analysis),
+        # with a 0.25 m floor for short runs where 1.5% would dip under
+        # EuRoC-scale noise. The EuRoC 0.02 m bound is not meaningful at
+        # driving scale.
+        travel = tim["gt_travel_m"]
+        kitti_gate = float(os.environ.get("BENCH_ATE_GATE",
+                                          max(0.25, 0.015 * travel)))
+        payload = {
             "metric": "frames_per_s_per_chip_kitti_geom_1241x376",
             "value": round(fps, 2), "unit": "frames/s",
             "vs_baseline": None, "ate_rmse_m": round(err, 4),
-            "ate_gate_m": kitti_gate,
+            "ate_gate_m": round(kitti_gate, 3),
+            "ate_pct_of_travel": round(100.0 * err / travel, 3),
             "rpe_t_m": round(rp[0], 5), "rpe_r_rad": round(rp[1], 5),
             "tracking_ok_frac": round(ok, 4), "keyframes": n_kf,
             "scene": scene_k, "traj": traj_k, "perturb": perturb,
-            "n_frames": N_FRAMES}, _check_gates(err, ok,
-                                                ate_gate=kitti_gate))
+            "n_frames": N_FRAMES}
+        payload.update(tim)
+        _emit(payload, _check_gates(err, ok, ate_gate=kitti_gate))
         return
 
-    fps, err, n_kf, ok, rp = _run(N_FRAMES, scene_kind=scene_kind,
-                                  perturb=perturb, traj_kind=traj_kind)
+    fps, err, n_kf, ok, rp, tim = _run(N_FRAMES, scene_kind=scene_kind,
+                                       perturb=perturb, traj_kind=traj_kind)
     gate_fail = _check_gates(err, ok)
     fps_b = ate_b_max = ate_b_mean = None
     if os.environ.get("BENCH_SKIP_BATCHED") != "1":
         kf_every = int(os.environ.get("BENCH_KF_EVERY", "1"))
-        fps_b, ok_b, ate_b_max, ate_b_mean = _run_batched(
+        fps_b, ok_b, ate_b_max, ate_b_mean, disc_b = _run_batched(
             max(N_FRAMES // 4, 10), kf_every=kf_every)
+        tim["n_discarded"] += disc_b
         # batched gate: shorter sequence → same ATE bound applies (the
         # batched path must be AS accurate as single-sequence, VERDICT r2
         # missing #2)
@@ -397,6 +472,7 @@ def main():
                          "CPU (provisional per BASELINE.md; reference mount "
                          "empty)",
     }
+    payload.update(tim)
     payload.update(lat_stats)
     _emit(payload, gate_fail)
 

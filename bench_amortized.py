@@ -1,7 +1,22 @@
 #!/usr/bin/env python
 """Amortized per-op timings: each op repeated R times inside one jitted
 lax.scan, so the axon tunnel's per-dispatch latency (~26ms) divides out.
-This is the number that matters for the scan-based pipeline."""
+This is the number that matters for the scan-based pipeline.
+
+Full-frame accounting (VERDICT r3 next #1a): beyond the individual op
+rows, the script measures every per-frame cost the r3 table omitted
+(relocalization descriptor pass, epipolar seed recovery, per-frame stereo
+reobservation, template rebuild, depth-filter second update) plus the
+KF-rate costs (keyframe insertion, window BA), times the REAL steady-state
+step, and closes the budget:
+
+    frame_ms ≈ step_nonkf_ms + kf_rate * (kf_insert_ms + window_ba_ms)
+
+with ``accounting`` reporting per-op sum vs step_nonkf (intra-frame
+fusion residual) and the model vs the measured full-scan frame time.
+
+BENCH_AMORT_STRESS=1 runs the whole table at north-star config #3 shapes
+(2048 features, 5 levels) — the binding-resource analysis input."""
 
 from __future__ import annotations
 
@@ -10,9 +25,10 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from stereo_svo_tpu.config import SvoConfig
-from stereo_svo_tpu.frontend import detector, pose_refine
+from stereo_svo_tpu.config import SvoConfig, stress_config
+from stereo_svo_tpu.frontend import detector, keyframe, pose_refine
 from stereo_svo_tpu.geometry import camera as cam_mod, se3
 from stereo_svo_tpu.io import synthetic
 from stereo_svo_tpu.ops import align, depth_filter, klt, pyramid, stereo_match
@@ -38,7 +54,8 @@ def scanned(body_of_c):
 
 def main():
     global DISPATCH_MS
-    cfg = SvoConfig()
+    stress = os.environ.get("BENCH_AMORT_STRESS") == "1"
+    cfg = stress_config() if stress else SvoConfig()
     cam = cfg.camera
     scene = synthetic.default_scene(0)
     img_l, img_r = jax.jit(
@@ -95,7 +112,7 @@ def main():
     mu0 = 1.0 / jnp.maximum(z, 1e-3)
     amort("depth_filter_ms", scanned(
         lambda c, t, kuv, cuv, mu: depth_filter.observe_and_update(
-            cam, cfg, t, kuv, cuv, mu + c * 0, jnp.ones(n) * 1e-3,
+            cam, cfg, t, kuv, cuv + c, mu, jnp.ones(n) * 1e-3,
             jnp.ones(n) * 10, jnp.ones(n) * 10, jnp.ones(n),
             jnp.ones(n, bool)).mu), T_ck, det.uv, det.uv, mu0)
 
@@ -138,8 +155,150 @@ def main():
                 i, u + c, t0, J, w, P, cfg.align_huber)[0]),
             img_l, det.uv, tmpl0, J0, w0)
 
-    print(json.dumps({k: round(v, 3) for k, v in results.items()},
-                     indent=1))
+    # ------------------------------------------------------------------
+    # Full-frame accounting on a REAL evolved state (VERDICT r3 next #1a):
+    # the r3 table summed 0.79 ms/frame against a measured 1.5-1.8 ms —
+    # half the frame was dark. The missing rows live below.
+    # ------------------------------------------------------------------
+    import time as _time
+
+    import bench as bench_mod
+    from stereo_svo_tpu.backend import loop_closure
+    from stereo_svo_tpu.engine import runner
+    from stereo_svo_tpu.engine import step as step_mod
+
+    lefts, rights, _ = bench_mod._render_sequence(cam, 100)
+    run = jax.jit(lambda l, r: runner.run_sequence_scan(cfg, l, r))
+    st, outs = run(lefts, rights)
+    np.asarray(outs.tracking_ok)
+    jax.block_until_ready(st)
+    kf_rate = float(np.asarray(outs.kf_inserted).sum()) / lefts.shape[0]
+
+    # measured full-scan frame time (median of 3 valid runs, same barrier
+    # discipline as bench.py)
+    scan_times = []
+    while len(scan_times) < 3:
+        t0 = _time.perf_counter()
+        st2, outs2 = run(lefts, rights)
+        np.asarray(outs2.tracking_ok)
+        jax.block_until_ready(st2)
+        dt = _time.perf_counter() - t0
+        if dt > lefts.shape[0] * 1e-4:
+            scan_times.append(dt)
+    frame_ms = float(np.median(scan_times)) / lefts.shape[0] * 1e3
+
+    img_l1, img_r1 = lefts[-1], rights[-1]
+    pyr1, gxs1, gys1 = pyramid.build_with_gradients(img_l1, cfg.num_levels)
+
+    # every-frame rows the r3 table omitted
+    coarse = pyr1[cfg.num_levels - 1]
+    amort("reloc_ms", scanned(
+        lambda c, d, v, im: loop_closure.relocalize(
+            d, v, im + c, cfg.loop_desc_rows, cfg.loop_desc_cols,
+            n_rot=cfg.pr_rot_variants, rot_step=cfg.pr_rot_step_rad,
+            rot_gate=jnp.asarray(False))[1]),
+        st.mem_desc, st.mem_valid, coarse)
+
+    T_ck = se3.compose(st.T_cw[None], st.kf_T_wk[st.kf_id])
+    if cfg.epi_samples > 0:
+        lv_e = cfg.epi_level
+        # perturb the searched image by c: keeps the whole search inside
+        # the scan (XLA hoists loop-invariant subgraphs out of while
+        # loops — a `0*c` perturbation of an unused field measures zero)
+        amort("epi_search_ms", scanned(
+            lambda c, t, kuv, mu, s2, p, im, m: depth_filter.epipolar_search(
+                cam, cfg, t, kuv, mu, s2, p, im + c, m,
+                level=lv_e)[0]),
+            T_ck, st.kf_uv, st.mu, st.sigma2,
+            st.klt_tmpl.patches[lv_e], pyr1[lv_e], st.klt_tmpl.mask)
+
+    if cfg.stereo_refresh_window > 0:
+        def refresh(c, im_l, im_r, uv, t_ck, mu, s2, a, b, zr, m):
+            z_pred = jnp.maximum(1.0 / jnp.maximum(mu, 1e-4), 0.2)
+            disp_pred = cam.fx * cam.baseline / z_pred
+            disp_m, _, ok_m = stereo_match.refine_disparity(
+                im_l, im_r, uv + c, disp_pred,
+                cfg.stereo_refresh_window, cfg.stereo_patch)
+            return depth_filter.stereo_observe_and_update(
+                cam, cfg, se3.inverse(t_ck), uv, disp_m, ok_m,
+                mu, s2, a, b, zr, m).mu
+        amort("stereo_refresh_ms", scanned(refresh),
+              pyr1[0], img_r1, st.feat_uv, T_ck, st.mu, st.sigma2,
+              st.a_beta, st.b_beta, st.z_range, st.klt_tmpl.mask)
+
+    amort("rebuild_template_ms", scanned(
+        lambda c, s, T: step_mod._rebuild_template(
+            cfg, s, [p + c for p in pyr1], gxs1, gys1, T).tmpl.patches),
+        st, st.T_cw)
+
+    # KF-rate rows: keyframe insertion (detector+stereo+snapshot) and
+    # window BA — each charged at kf_rate in the budget. Images (and for
+    # BA the observation graph) are perturbed by the scan carry so XLA
+    # cannot hoist the work out of the timing loop.
+    def kf_insert_probe(c, s, T):
+        # the returned value must depend on the image-derived outputs
+        # (detection, stereo, snapshots) or XLA dead-code-eliminates the
+        # entire insert (first attempt returned kf_T_wk — T-only — and
+        # measured 0.0001 ms)
+        s2 = keyframe.insert(cfg, s, [p + c for p in pyr1], gxs1, gys1,
+                             img_r1 + c, T)
+        return (s2.obs_uv.sum() + s2.obs_disp.sum() + s2.kf_desc.sum()
+                + s2.mu.sum() + s2.kf_thumb.sum())
+    amort("kf_insert_ms", scanned(kf_insert_probe), st, st.T_cw)
+    if cfg.use_ba:
+        amort("window_ba_ms", scanned(
+            lambda c, s: step_mod.run_window_ba(
+                cfg, s._replace(obs_uv=s.obs_uv + 1e-6 * c)).kf_T_wk), st)
+
+    # the REAL steady-state step (non-KF frames): scan the full step over
+    # R repeats of one frame, carrying the state — this is the number the
+    # per-op rows must sum to (minus what XLA fuses across op boundaries)
+    step = step_mod.make_step(cfg)
+
+    def step_scan(st0, l, r):
+        def body(s, _):
+            s, out = step(s, l, r)
+            return s, out.kf_inserted
+        stf, kfs = jax.lax.scan(body, st0, None, length=R)
+        return stf.T_cw, jnp.sum(kfs)
+
+    f_step = jax.jit(step_scan)
+    ms = time_fn(f_step, st, img_l1, img_r1) * 1e3
+    results["step_nonkf_ms"] = (ms - DISPATCH_MS) / R
+    results["step_loop_kf_count"] = float(
+        np.asarray(f_step(st, img_l1, img_r1)[1]))      # should be 0
+    results["scan_frame_ms"] = frame_ms
+    results["kf_rate"] = kf_rate
+
+    out = {k: round(v, 4) for k, v in results.items()}
+
+    # budget closure
+    every_frame = [k for k in ("align_ms", "klt_ms", "pyramid_ms",
+                               "align_template_ms", "pose_refine_ms",
+                               "depth_filter_ms", "reloc_ms",
+                               "epi_search_ms", "stereo_refresh_ms",
+                               "rebuild_template_ms") if k in out]
+    # rebuild_template_ms supersedes align_template_ms in the per-frame
+    # budget (it wraps it); count it once
+    per_frame_sum = sum(out[k] for k in every_frame
+                        if k != "align_template_ms")
+    kf_cost = out.get("kf_insert_ms", 0.0) + out.get("window_ba_ms", 0.0)
+    model_ms = out.get("step_nonkf_ms", per_frame_sum) \
+        + out["kf_rate"] * kf_cost
+    out["accounting"] = {
+        "per_op_sum_ms": round(per_frame_sum, 4),
+        "step_nonkf_ms": out.get("step_nonkf_ms"),
+        "intra_frame_residual_ms": round(
+            out.get("step_nonkf_ms", 0.0) - per_frame_sum, 4),
+        "kf_phase_ms": round(kf_cost, 4),
+        "kf_rate": out["kf_rate"],
+        "model_frame_ms": round(model_ms, 4),
+        "measured_frame_ms": out["scan_frame_ms"],
+        "unaccounted_ms": round(out["scan_frame_ms"] - model_ms, 4),
+        "kf_phase_share_of_frame": round(
+            out["kf_rate"] * kf_cost / out["scan_frame_ms"], 4),
+    }
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ RUNS = [
 
 for name, sched in RUNS:
     cfg = dataclasses.replace(SvoConfig(), align_iters_per_level=sched)
-    fps, err, n_kf, ok, rp = bench._run(100, repeats=2, cfg=cfg)
+    fps, err, n_kf, ok, rp, _tim = bench._run(100, repeats=2, cfg=cfg)
     print(json.dumps({
         "variant": name, "fps": round(fps, 1), "ate_m": round(err, 4),
         "rpe_t_m": round(rp[0], 5), "tracking_ok": round(ok, 3),

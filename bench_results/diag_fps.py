@@ -15,7 +15,7 @@ RUNS = [
 ]
 for name, overrides in RUNS:
     cfg = dataclasses.replace(SvoConfig(), **overrides)
-    fps, err, n_kf, ok, rp = bench._run(100, repeats=3, cfg=cfg)
+    fps, err, n_kf, ok, rp, _tim = bench._run(100, repeats=3, cfg=cfg)
     print(json.dumps({"variant": name, "fps": round(fps,1),
         "ate_m": round(err,4), "tracking_ok": round(ok,3),
         "keyframes": n_kf}), flush=True)

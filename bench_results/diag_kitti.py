@@ -26,7 +26,7 @@ RUNS = [
 
 for name, overrides, scene, traj in RUNS:
     cfg = dataclasses.replace(kitti_config(), **overrides)
-    fps, err, n_kf, ok, rp = bench._run(100, repeats=2, cfg=cfg,
+    fps, err, n_kf, ok, rp, _tim = bench._run(100, repeats=2, cfg=cfg,
                                         scene_kind=scene, traj_kind=traj)
     print(json.dumps({
         "variant": name, "fps": round(fps, 1), "ate_m": round(err, 4),

@@ -22,7 +22,7 @@ RUNS = [
 
 for name, overrides in RUNS:
     cfg = dataclasses.replace(kitti_config(), **overrides)
-    fps, err, n_kf, ok, rp = bench._run(100, repeats=1, cfg=cfg,
+    fps, err, n_kf, ok, rp, _tim = bench._run(100, repeats=1, cfg=cfg,
                                         scene_kind="road", traj_kind="kitti")
     print(json.dumps({
         "variant": name, "fps": round(fps, 1), "ate_m": round(err, 4),

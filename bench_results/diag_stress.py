@@ -23,7 +23,7 @@ VARIANTS = {
 
 for name, overrides in VARIANTS.items():
     cfg = dataclasses.replace(stress_config(), **overrides)
-    fps, err, n_kf, ok, rp = bench._run(100, repeats=2, cfg=cfg)
+    fps, err, n_kf, ok, rp, _tim = bench._run(100, repeats=2, cfg=cfg)
     print(json.dumps({
         "variant": name, "fps": round(fps, 1), "ate_m": round(err, 4),
         "rpe_t_m": round(rp[0], 5), "rpe_r_rad": round(rp[1], 6),

@@ -91,9 +91,15 @@ class SvoConfig:
                                    # 659 fps @ ATE 0.0103 vs flat-10 →
                                    # ~520 @ 0.0106
     align_levels: int = 4          # coarse-to-fine levels used for alignment
-    align_min_level: int = 0       # finest level in alignment. min_level=1
-                                   # (SVO-style) gives +18% fps but 3x ATE
-                                   # on the full-scale bench — keep 0.
+    align_min_level: int = 0       # finest level in alignment. The r1
+                                   # claim "min_level=1 → +18% fps but 3x
+                                   # ATE" was measured pre-illum_affine and
+                                   # is inverted on current code at stress
+                                   # scale: min_level=0 there is SLOWER and
+                                   # less accurate (122.6 fps / ATE 0.0181
+                                   # vs 144.0 / 0.0124 — BASELINE.md r3),
+                                   # so stress_config keeps 1. Default
+                                   # stays 0 for the 192-feature config.
     align_huber: float = 8.0       # Huber k on intensity residuals (u8 scale)
     align_irls_chunks: int = 3     # Huber-weight/Hessian refreshes per
                                    # level; each refresh takes an exact GN

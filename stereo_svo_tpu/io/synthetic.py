@@ -164,14 +164,19 @@ def cluttered_scene(seed: int = 0, n_spheres: int = 6):
     return tuple(prims), texs
 
 
-def road_scene(seed: int = 0):
+def road_scene(seed: int = 0, length: float = 60.0, wall_tilt: float = 0.06):
     """KITTI-like deep scene: road plane + two building walls + backdrop.
 
-    Depth spans ~4–60 m (vs the EuRoC-ish default_scene's 2.5–14 m), so a
-    wide-baseline camera (KITTI: 0.537 m) sees disparities well inside its
-    search range and forward motion has structure to track all the way
+    Depth spans ~4–`length` m (vs the EuRoC-ish default_scene's 2.5–14 m),
+    so a wide-baseline camera (KITTI: 0.537 m) sees disparities well inside
+    its search range and forward motion has structure to track all the way
     out — the geometry class the arc-over-close-planes bench never
     exercises (VERDICT r2 weak #2).
+
+    ``length`` places the backdrop; ``wall_tilt`` is the walls' z-normal
+    component (they converge toward the centerline at x = 7/wall_tilt m —
+    long driving runs need a smaller tilt so the corridor stays open past
+    the travel distance).
     """
     def unit(v):
         v = np.asarray(v, np.float32)
@@ -188,7 +193,7 @@ def road_scene(seed: int = 0):
     # building walls at x = ±7 m, slightly converging (keeps texture in
     # view under yaw)
     for sx in (-1.0, 1.0):
-        nW = unit([-sx, 0.0, -0.06])
+        nW = unit([-sx, 0.0, -wall_tilt])
         prims.append(Plane(jnp.asarray(nW),
                            jnp.asarray(np.dot(nW, [sx * 7.0, 0, 0]),
                                        np.float32),
@@ -197,7 +202,7 @@ def road_scene(seed: int = 0):
     # far backdrop closes every ray
     nB = unit([0.0, 0.0, -1.0])
     prims.append(Plane(jnp.asarray(nB),
-                       jnp.asarray(np.dot(nB, [0, 0, 60.0]), np.float32),
+                       jnp.asarray(np.dot(nB, [0, 0, length]), np.float32),
                        jnp.asarray([1.0, 0.0, 0.0]),
                        jnp.asarray([0.0, 1.0, 0.0])))
     texs = tuple(_texture_params(seed + 10 * k) for k in range(len(prims)))
@@ -234,6 +239,11 @@ def get_scene(kind: str, seed: int = 0):
         return cluttered_scene(seed)
     if kind == "road":
         return road_scene(seed)
+    if kind == "road_long":
+        # driving-scale variant: ~180 m corridor, walls converging at
+        # x = 7/0.02 = 350 m — stays open past a 700-frame / ~84 m run
+        # (VERDICT r3 next #2: drift proof at ≥500 frames)
+        return road_scene(seed, length=180.0, wall_tilt=0.02)
     raise ValueError(kind)
 
 
