@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Resolve the epipolar-recovery default with e2e evidence (VERDICT r3
+next #3): the r3 row showed epi ON costs 60% ATE on the perturbed
+sequence (0.0154 vs 0.0096) while its claimed benefit — seed-starvation
+protection through weak-texture stretches — was only ever shown at unit
+level. This builds that scenario end-to-end:
+
+  - 'weak': frames 40..55 have contrast crushed to 20% + sensor noise 6
+    (non-affine degradation: the affine-illumination compensation absorbs
+    pure gain/bias, so the stressor must bury SNR, not just scale it)
+  - 'blur': frames 40..55 get 3-tap motion blur over 60% of inter-frame
+    motion (smears gradients — the classic direct-method killer)
+  - 'perturb': the r3 photometric-nuisance sequence (the case where OFF
+    measured better)
+
+For each scenario x {epi on, off}: ATE, tracking_ok, seed deaths,
+epi-recovered observations."""
+import os, sys, json, dataclasses
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.getcwd())
+import jax, jax.numpy as jnp, numpy as np
+import bench
+from stereo_svo_tpu.config import SvoConfig
+from stereo_svo_tpu.engine import runner
+from stereo_svo_tpu.eval import ate
+from stereo_svo_tpu.io import synthetic
+
+cfg0 = SvoConfig()
+cam = cfg0.camera
+
+def degrade_weak(lefts, rights, lo=40, hi=56, contrast=0.2, noise=6.0):
+    key = jax.random.PRNGKey(7)
+    l, r = np.asarray(lefts), np.asarray(rights)
+    for i in range(lo, hi):
+        key, k1, k2 = jax.random.split(key, 3)
+        for img, k in ((l, k1), (r, k2)):
+            x = 128.0 + contrast * (img[i] - 128.0)
+            x = x + noise * np.asarray(jax.random.normal(k, x.shape))
+            img[i] = np.clip(x, 0, 255)
+    return jnp.asarray(l), jnp.asarray(r)
+
+def run_case(name, lefts, rights, gts, epi):
+    cfg = dataclasses.replace(cfg0, epi_samples=epi)
+    run = jax.jit(lambda a, b: runner.run_sequence_scan(cfg, a, b))
+    st, outs = run(lefts, rights)
+    est = np.asarray(outs.T_wc)
+    err = ate.ate_rmse(ate.positions(est), ate.positions(gts))
+    res = {"case": name, "epi_samples": epi,
+           "ate_m": round(float(err), 4),
+           "tracking_ok": round(float(np.asarray(outs.tracking_ok).mean()), 3),
+           "seed_deaths": int(np.asarray(outs.n_seed_deaths).sum()),
+           "epi_recovered": int(np.asarray(outs.n_epi_recovered).sum()),
+           "kf": int(np.asarray(outs.kf_inserted).sum()),
+           "min_tracked": int(np.asarray(outs.n_tracked)[1:].min())}
+    print(json.dumps(res), flush=True)
+    return res
+
+lefts, rights, gts = bench._render_sequence(cam, 100)
+wl, wr = degrade_weak(lefts, rights)
+for epi in (16, 0):
+    run_case("weak_texture", wl, wr, gts, epi)
+
+# blur stretch: re-render frames 40..55 with motion blur (host render, cached)
+cdir = "bench_results/seq_blur_patch.npz"
+if os.path.exists(cdir):
+    d = np.load(cdir); bl, br = d["l"], d["r"]
+else:
+    bl, br, _ = synthetic.make_sequence(cam, 56, dt=0.08, kind="arc",
+                                        scene_kind="planes",
+                                        motion_blur=0.6)
+    np.savez(cdir, l=bl[40:], r=br[40:])
+    bl, br = bl[40:], br[40:]
+l2, r2 = np.asarray(lefts).copy(), np.asarray(rights).copy()
+l2[40:56], r2[40:56] = bl, br
+l2, r2 = jnp.asarray(l2), jnp.asarray(r2)
+for epi in (16, 0):
+    run_case("blur_stretch", l2, r2, gts, epi)
+
+pl, pr, pg = bench._render_sequence(cam, 100, "planes", "arc", True)
+for epi in (16, 0):
+    run_case("perturb", pl, pr, pg, epi)

@@ -275,6 +275,33 @@ def propose_edges(desc: jnp.ndarray, valid: jnp.ndarray,
         valid=top >= min_score)
 
 
+def propose_online(cfg: SvoConfig, mem_desc: jnp.ndarray,
+                   mem_valid: jnp.ndarray, mem_stamp: jnp.ndarray,
+                   m_new: jnp.ndarray, thumb_new: jnp.ndarray
+                   ) -> LoopProposals:
+    """Incremental loop proposals: the NEWEST keyframe vs the memory bank.
+
+    The online engine path (engine/step.run_online_loop) only needs loops
+    that close at the camera's current position, so instead of the full
+    K×K similarity matrix (``propose_edges``, offline) this computes one
+    query row: the new keyframe's shift+roll descriptor variants against
+    every bank entry — the same cost class as per-frame relocalization.
+    Returns edges (i = matched older slot, j = m_new); the temporal-gap
+    mask also excludes m_new itself (gap 0 < loop_min_gap).
+    """
+    q = query_descriptors(thumb_new, cfg.loop_desc_rows, cfg.loop_desc_cols,
+                          cfg.pr_rot_variants, cfg.pr_rot_step_rad)  # (V,D)
+    scores = jnp.max(mem_desc @ q.T, axis=-1)                         # (M,)
+    gap = jnp.abs(mem_stamp - mem_stamp[m_new]) >= cfg.loop_min_gap
+    scores = jnp.where(mem_valid & gap, scores, -2.0)
+    top, idx = jax.lax.top_k(scores, cfg.online_loop_edges)
+    edges = jnp.stack([idx.astype(jnp.int32),
+                       jnp.full((cfg.online_loop_edges,), m_new,
+                                jnp.int32)], -1)
+    return LoopProposals(edges_ij=edges, score=top,
+                         valid=top >= cfg.loop_min_score)
+
+
 def _thumb_cfg(cfg: SvoConfig) -> Tuple[CameraConfig, SvoConfig]:
     """Camera + align config operating directly at thumbnail resolution."""
     s = 1.0 / (2 ** cfg.thumb_level)

@@ -247,6 +247,32 @@ class SvoConfig:
                                    # to the most recent keyframe
     loop_max_edges: int = 8        # fixed loop-edge capacity (masked)
     loop_accept_frac: float = 0.6  # min photometric inlier frac to accept
+    # --- ONLINE loop closure (engine-integrated; VERDICT r3 next #5) ---
+    # The offline path (refine_trajectory) repairs drift only after the
+    # run; with online_loop_every > 0 the engine ALSO closes loops live:
+    # every N-th keyframe insertion, the new keyframe's descriptor queries
+    # the memory bank (incremental — one query row, not the full K² edge
+    # matrix), accepted edges feed an on-device pose graph over the bank,
+    # and the correction folds into the live state (kf_T_wk, mem_T_wk,
+    # current/template poses) — a revisit repairs drift DURING the run.
+    online_loop_every: int = 0     # run every N-th KF insertion (0 = off)
+    online_loop_edges: int = 2     # top-k bank matches measured per query
+    online_loop_iters: int = 8     # pose-graph GN iterations
+    online_loop_max_t: float = 2.0  # trust guard: reject a correction
+    online_loop_max_r: float = 1.0  # moving the newest KF further than
+                                   # this (m, rad) — a false loop edge
+                                   # must not teleport the live map
+    online_loop_min_t: float = 0.02  # significance floor: corrections
+    online_loop_min_r: float = 0.01  # below this are edge-measurement
+                                   # noise, and applying them every KF
+                                   # measurably destabilizes tracking
+                                   # (each one kinks the pose history the
+                                   # depth filters then absorb as biased
+                                   # triangulations); a real loop event
+                                   # fires once, cleanly
+    online_loop_cooldown: int = 2  # KF insertions to wait after an
+                                   # applied correction before running
+                                   # again (lets BA/tracking re-settle)
     mem_keyframes: int = 48        # long-horizon place-recognition memory:
                                    # every keyframe's descriptor/thumbnail/
                                    # pose/stereo snapshot outlives the BA

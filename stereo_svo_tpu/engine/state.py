@@ -82,6 +82,12 @@ class SlamState(NamedTuple):
     mem_disp: jnp.ndarray    # (M,N) stereo disparity snapshot
     mem_dmask: jnp.ndarray   # (M,N)
     mem_next: jnp.ndarray    # () int32 FIFO pointer (total KFs created)
+    n_loop_closures: jnp.ndarray  # () int32 cumulative accepted+applied
+                             # ONLINE loop edges (engine/step.
+                             # run_online_loop; 0 unless
+                             # cfg.online_loop_every > 0)
+    last_loop_mem: jnp.ndarray  # () int32 mem_next at the last APPLIED
+                             # online correction (cooldown anchor)
 
     # --- BA observation graph (K,N) ---
     obs_uv: jnp.ndarray      # (K,N,2) feature position snapshot at KF creation
@@ -169,6 +175,8 @@ def init_state(cfg: SvoConfig) -> SlamState:
         mem_disp=jnp.zeros((cfg.mem_keyframes, N), f32),
         mem_dmask=jnp.zeros((cfg.mem_keyframes, N), bool),
         mem_next=jnp.asarray(0, jnp.int32),
+        n_loop_closures=jnp.asarray(0, jnp.int32),
+        last_loop_mem=jnp.asarray(-(2 ** 20), jnp.int32),
         obs_uv=jnp.zeros((K, N, 2), f32),
         obs_mask=jnp.zeros((K, N), bool),
         obs_disp=jnp.zeros((K, N), f32),
