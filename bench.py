@@ -91,18 +91,26 @@ def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
 
     from stereo_svo_tpu.io import synthetic
 
+    # driving-scale scenes render with 2x2 supersampling: point-sampled
+    # world-scale texture aliases into frame-incoherent noise at long
+    # range (see io/synthetic.render_view) — measured to collapse the
+    # 700-frame road_long run (drift 4x at equal frame counts, tracking
+    # lost at frame 283)
+    aa = 2 if scene_kind.startswith("road") else 1
     cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_results")
     cache = os.path.join(
         cdir, f"seq_{scene_kind}_{traj_kind}_{cam.width}x{cam.height}"
-              f"_{n_frames}f_p{int(perturb)}_s{seed}_dt{dt}.npz")
+              f"_{n_frames}f_p{int(perturb)}_s{seed}_dt{dt}"
+              + (f"_aa{aa}" if aa > 1 else "") + ".npz")
     src_mtime = os.path.getmtime(synthetic.__file__)
     if os.path.exists(cache) and os.path.getmtime(cache) > src_mtime:
         d = np.load(cache)
         return (jnp.asarray(d["l"]), jnp.asarray(d["r"]), d["g"])
 
     scene = synthetic.get_scene(scene_kind, seed)
-    render = jax.jit(lambda T: synthetic.render_stereo(cam, T, scene))
+    render = jax.jit(
+        lambda T: synthetic.render_stereo(cam, T, scene, aa=aa))
     pert = jax.jit(synthetic.perturb_stereo)
     key = jax.random.PRNGKey(seed)
     lefts, rights, gts = [], [], []

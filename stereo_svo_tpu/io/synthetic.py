@@ -276,33 +276,56 @@ def perturb_stereo(left: jnp.ndarray, right: jnp.ndarray, key,
     return apply(left, kl), apply(right, kr)
 
 
-def render_view(cam: CameraConfig, T_wc: jnp.ndarray, scene) -> jnp.ndarray:
+def render_view(cam: CameraConfig, T_wc: jnp.ndarray, scene,
+                aa: int = 1) -> jnp.ndarray:
     """Ray-cast one camera view: (H, W) float32 intensities in [0, 255].
 
     T_wc: camera→world pose (camera center = translation(T_wc)).
-    """
-    planes, textures = scene
-    H, W = cam.height, cam.width
-    u = jnp.arange(W, dtype=jnp.float32)
-    v = jnp.arange(H, dtype=jnp.float32)
-    uu, vv = jnp.meshgrid(u, v)                      # (H, W)
-    # Camera-frame ray directions.
-    rx = (uu - cam.cx) / cam.fx
-    ry = (vv - cam.cy) / cam.fy
-    rays_c = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)
-    R = se3.rotation(T_wc)
-    o = se3.translation(T_wc)
-    rays_w = jnp.einsum("ij,hwj->hwi", R, rays_c)
 
-    img = jnp.zeros((H, W), jnp.float32)
-    depth = jnp.full((H, W), jnp.inf, jnp.float32)
-    for prim, tex in zip(planes, textures):
-        s, hit, p1, p2 = _intersect(prim, o, rays_w)
-        val = _texture(p1, p2, tex)
-        closer = hit & (s < depth)                   # z-buffer → occlusion
-        img = jnp.where(closer, val, img)
-        depth = jnp.where(closer, s, depth)
-    return img
+    aa: supersampling factor (anti-aliasing). Point-sampling a
+    world-scale texture (up to ~9 cycles/m) at long range puts multiple
+    texture cycles inside one pixel footprint — e.g. 2.2 cycles/px on a
+    backdrop 180 m from a fx≈719 camera — so distant surfaces render as
+    frame-incoherent noise instead of the smooth low-frequency content a
+    real camera integrates over its pixel area. aa=2 averages a 2×2
+    sub-pixel grid (box filter), which is what sank the 700-frame
+    road_long run before it existed (drift 4× the 60 m scene's at equal
+    frame counts, then tracking collapse).
+    """
+    def one_pass(duv):
+        """Ray-cast at pixel centers + (du, dv) sub-pixel offset."""
+        planes, textures = scene
+        H, W = cam.height, cam.width
+        u = jnp.arange(W, dtype=jnp.float32)
+        v = jnp.arange(H, dtype=jnp.float32)
+        uu, vv = jnp.meshgrid(u, v)                  # (H, W)
+        # Camera-frame ray directions.
+        rx = (uu + duv[0] - cam.cx) / cam.fx
+        ry = (vv + duv[1] - cam.cy) / cam.fy
+        rays_c = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)
+        R = se3.rotation(T_wc)
+        o = se3.translation(T_wc)
+        rays_w = jnp.einsum("ij,hwj->hwi", R, rays_c)
+
+        img = jnp.zeros((H, W), jnp.float32)
+        depth = jnp.full((H, W), jnp.inf, jnp.float32)
+        for prim, tex in zip(planes, textures):
+            s, hit, p1, p2 = _intersect(prim, o, rays_w)
+            val = _texture(p1, p2, tex)
+            closer = hit & (s < depth)               # z-buffer → occlusion
+            img = jnp.where(closer, val, img)
+            depth = jnp.where(closer, s, depth)
+        return img
+
+    if aa == 1:
+        return one_pass(jnp.zeros(2, jnp.float32))
+    # sequential sub-pixel passes (lax.map) — one full-image pass is
+    # already hundreds of MB of ray/texture intermediates at KITTI
+    # resolution; a 2x2-supersampled single pass exceeded HBM
+    offs = jnp.asarray([(k + 0.5) / aa - 0.5 for k in range(aa)],
+                       jnp.float32)
+    duv = jnp.stack(jnp.meshgrid(offs, offs), -1).reshape(-1, 2)
+    return jnp.mean(jax.lax.map(one_pass, duv), axis=0)
 
 
 def gt_depth(cam: CameraConfig, T_wc: jnp.ndarray, uv: jnp.ndarray, scene):
@@ -329,9 +352,10 @@ def right_camera_pose(cam: CameraConfig, T_wc_left: jnp.ndarray) -> jnp.ndarray:
     return se3.compose(T_wc_left, offset)
 
 
-def render_stereo(cam: CameraConfig, T_wc: jnp.ndarray, scene):
-    left = render_view(cam, T_wc, scene)
-    right = render_view(cam, right_camera_pose(cam, T_wc), scene)
+def render_stereo(cam: CameraConfig, T_wc: jnp.ndarray, scene,
+                  aa: int = 1):
+    left = render_view(cam, T_wc, scene, aa=aa)
+    right = render_view(cam, right_camera_pose(cam, T_wc), scene, aa=aa)
     return left, right
 
 
