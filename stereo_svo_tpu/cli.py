@@ -34,8 +34,14 @@ def _frame_source(args, cfg):
         if args.cam0_yaml and args.cam1_yaml:
             cfg, rect = calib.euroc_rectified_config(
                 args.cam0_yaml, args.cam1_yaml, base=cfg)
+        if args.native_loader:
+            from .io import native_loader
+            return cfg, native_loader.euroc_native(args.root, rect), None
         return cfg, datasets.euroc_frames(args.root, rect), None
     if args.dataset == "kitti":
+        if args.native_loader:
+            from .io import native_loader
+            return cfg, native_loader.kitti_native(args.root, args.seq), None
         return cfg, datasets.kitti_frames(args.root, args.seq), None
     if args.dataset == "video":
         return cfg, datasets.video_frames(args.root, args.right), None
@@ -69,6 +75,10 @@ def main(argv=None):
                    help="synthetic: apply photometric nuisance model "
                         "(exposure gain/bias, vignette, sensor noise)")
     p.add_argument("--metrics-out", help="write per-frame metrics JSON")
+    p.add_argument("--native-loader", action="store_true",
+                   help="decode/prefetch frames with the C++ loader "
+                        "(native/frameloader.cpp) instead of the Python "
+                        "readers (euroc/kitti datasets)")
     p.add_argument("--loop-closure", action="store_true",
                    help="after the run, detect appearance-based loop "
                         "closures in the keyframe bank and refine the "
