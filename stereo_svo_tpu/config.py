@@ -149,23 +149,49 @@ class SvoConfig:
                                    # keyframe at (BASELINE.md r3
                                    # KITTI-geometry root cause)
     refine_prior_r_sig: float = 0.02
+    refine_stereo_weight: float = 1.0  # weight of the per-frame stereo
+                                   # disparity residual rows in the pose
+                                   # refiner (0 disables). Mono
+                                   # reprojection leaves forward
+                                   # translation nearly unobserved on
+                                   # far-dominated scenes: measured on
+                                   # road_long (r4), per-frame steps ran
+                                   # +4..+32% hot and compounded into
+                                   # collapse; the disparity rows are a
+                                   # direct per-frame measurement of
+                                   # each feature's camera depth and pin
+                                   # the scale. Reuses the depth
+                                   # filter's stereo_refresh measurement
+                                   # — no extra search.
 
     # --- depth filter (ref: DepthFilter) ---
     seed_sigma_ratio: float = 0.05  # convergence: sigma < ratio * depth_range
     seed_max_updates: int = 60
     px_noise: float = 1.0          # 1-px measurement noise assumption
-    stereo_refresh_window: int = 4  # per-frame stereo reobservation of
-                                   # seeds: narrow disparity search
-                                   # (pred ± window px) in the CURRENT
-                                   # stereo pair, folded into the depth
-                                   # posterior. The scale anchor: motion
-                                   # triangulation follows the pose
-                                   # estimate, so pose-scale drift is
-                                   # self-reinforcing; the per-frame
-                                   # disparity measurement is pose-free
-                                   # (measured: KITTI-geom landmark depth
-                                   # bias +0.8%→+9.6% without it —
-                                   # BASELINE.md r3). 0 disables.
+    stereo_refresh_window: int = 10  # per-frame stereo reobservation:
+                                   # disparity search (pred ± window px)
+                                   # in the CURRENT stereo pair, feeding
+                                   # (a) the depth posterior and (b) the
+                                   # pose refiner's disparity rows. The
+                                   # scale anchor: motion triangulation
+                                   # follows the pose estimate, so
+                                   # pose-scale drift is self-reinforcing;
+                                   # the disparity measurement is
+                                   # pose-free (measured: KITTI-geom
+                                   # landmark depth bias +0.8%→+9.6%
+                                   # without it — BASELINE.md r3).
+                                   # Window sizing (r4): the search
+                                   # centers on the POSE-predicted
+                                   # disparity, which a scale drift of s
+                                   # shifts by ≈ s·disp — at the old ±4
+                                   # a 7% drift pushed near features
+                                   # (disp≈60, the only scale-informative
+                                   # ones) off-window, and the interior
+                                   # gate then dropped exactly them
+                                   # (adverse selection; road_long
+                                   # collapse root-cause). ±10 tolerates
+                                   # ~16% drift on 60 px features.
+                                   # 0 disables.
     # per-seed epipolar search for KLT-lost seeds (ref DepthFilter's 1-D
     # search along the epipolar line; SURVEY.md §3.5)
     epi_samples: int = 16          # ZNCC probes along the μ±3σ segment

@@ -341,7 +341,21 @@ def make_phases(cfg: SvoConfig):
                 is_edgelet=~st.feat_corner, A_inv=A_inv)
             tracked = klt_mask & klt_ok
 
-            # --- 3. motion-only pose refinement on reprojection ---
+            # --- 3. per-frame stereo disparity at the tracked positions
+            # (measured BEFORE refinement: the rows feed the pose refiner
+            # as direct depth observations AND the depth filter below —
+            # one search, two consumers) ---
+            disp_m = ok_m = None
+            if cfg.stereo_refresh_window > 0:
+                z_pred = jnp.maximum(x_c[..., 2], 0.2)
+                disp_pred = cam.fx * cam.baseline / z_pred
+                disp_m, _, ok_m = stereo_match.refine_disparity(
+                    pyr_l[0], img_r, uv_ref, disp_pred,
+                    cfg.stereo_refresh_window, cfg.stereo_patch)
+
+            # --- 4. motion-only pose refinement: reprojection rows plus
+            # (when measured) stereo disparity rows — the forward-scale
+            # anchor on far-dominated scenes (see pose_refine.refine) ---
             # per-feature noise: a feature detected at pyramid level L
             # localizes to ~2^L px (SURVEY.md §2.1 detector row)
             obs_sigma = jnp.exp2(st.feat_level.astype(jnp.float32))
@@ -351,7 +365,9 @@ def make_phases(cfg: SvoConfig):
             T_prior = se3.compose(T_init, st.T_pw)
             T_cw, inliers, refine_stats = pose_refine.refine(
                 cam, cfg, T_cw_pred, X_w, uv_ref, tracked,
-                obs_sigma=obs_sigma, T_prior=T_prior)
+                obs_sigma=obs_sigma, T_prior=T_prior,
+                disp_obs=disp_m,
+                disp_mask=None if ok_m is None else (tracked & ok_m))
             n_inl = refine_stats["refine_inliers"]
             ok = (n_inl >= 10) & jnp.all(jnp.isfinite(T_cw))
             # Failed frame: do NOT commit the diverging estimate — anchor
@@ -418,13 +434,9 @@ def make_phases(cfg: SvoConfig):
                 # Motion triangulation (above) follows the pose estimate,
                 # so pose-scale drift is self-reinforcing; the disparity
                 # measurement is pose-free (ops/depth_filter.
-                # stereo_observe_and_update). Narrow search around the
-                # posterior's predicted disparity keeps it cheap.
-                z_pred = jnp.maximum(x_c[..., 2], 0.2)
-                disp_pred = cam.fx * cam.baseline / z_pred
-                disp_m, _, ok_m = stereo_match.refine_disparity(
-                    pyr_l[0], img_r, feat_uv, disp_pred,
-                    cfg.stereo_refresh_window, cfg.stereo_patch)
+                # stereo_observe_and_update). The measurement itself was
+                # taken in phase 3 (at uv_ref, which equals feat_uv on
+                # every feature the mask below admits).
                 # KLT-verified positions only: an untracked feature's
                 # feat_uv is the pose prediction, whose left patch may not
                 # be the feature — measuring disparity there would fold a

@@ -22,7 +22,9 @@ from ..ops import solve
 def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
            X_world: jnp.ndarray, uv_obs: jnp.ndarray,
            mask: jnp.ndarray, obs_sigma: jnp.ndarray | None = None,
-           T_prior: jnp.ndarray | None = None
+           T_prior: jnp.ndarray | None = None,
+           disp_obs: jnp.ndarray | None = None,
+           disp_mask: jnp.ndarray | None = None
            ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Refine T_cw so that projected landmarks match observed positions.
 
@@ -45,17 +47,30 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
         excursion, immortalizing it. A loose prior (default 50 mm) is
         invisible against healthy data and caps exactly those
         excursions. Disabled when cfg.refine_prior_t_sig == 0.
+      disp_obs/disp_mask: optional (N,) per-frame stereo disparity
+        measurements at the tracked positions (and their validity). Adds
+        a third residual row fx·B/z_c(T) − d_obs per feature — a DIRECT
+        observation of each feature's current camera-frame depth, i.e.
+        of forward translation. Mono reprojection rows leave the forward
+        axis nearly unobserved on far-dominated scenes: measured on the
+        700-frame road_long run, per-frame translation ran +4…+32% hot
+        and compounded into tracking collapse (r4 root-cause); with the
+        disparity rows the near features pin it. Gated by
+        cfg.refine_stereo_weight (0 disables).
     Returns: (T_cw, inlier_mask, stats).
     """
     sig = jnp.ones(X_world.shape[0], jnp.float32) if obs_sigma is None \
         else obs_sigma
     inv_s2 = 1.0 / (sig * sig)
     use_prior = T_prior is not None and cfg.refine_prior_t_sig > 0.0
+    use_disp = (disp_obs is not None and disp_mask is not None
+                and cfg.refine_stereo_weight > 0.0)
     if use_prior:
         lam = jnp.concatenate([
             jnp.full(3, 1.0 / cfg.refine_prior_t_sig ** 2),
             jnp.full(3, 1.0 / max(cfg.refine_prior_r_sig, 1e-6) ** 2)])
         T_prior_inv = se3.inverse(T_prior)
+    fxB = cam.fx * cam.baseline
 
     def residual(T):
         x_c = se3.transform(T, X_world)                     # (N,3)
@@ -64,7 +79,28 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
         rn = jnp.linalg.norm(r, axis=-1) / sig              # whitened
         w = jnp.where(rn <= cfg.refine_huber_px, 1.0,
                       cfg.refine_huber_px / jnp.maximum(rn, 1e-6))
-        return x_c, r, w * inv_s2 * (mask & front)
+        w = w * inv_s2 * (mask & front)
+        if use_disp:
+            z = jnp.maximum(x_c[..., 2], 0.2)
+            r_d = fxB / z - disp_obs                        # (N,) px
+            rdn = jnp.abs(r_d) / sig
+            w_d = jnp.where(rdn <= cfg.refine_huber_px, 1.0,
+                            cfg.refine_huber_px / jnp.maximum(rdn, 1e-6))
+            w_d = (w_d * inv_s2 * cfg.refine_stereo_weight
+                   * (mask & front & disp_mask))
+        else:
+            r_d = w_d = None
+        return x_c, r, w, r_d, w_d
+
+    def disp_jacobian(x_c):
+        """d(fx·B/z)/dξ for left-multiplied twists: dz/dδ = [0,0,1,y,−x,0]
+        scaled by −fx·B/z²."""
+        z = jnp.maximum(x_c[..., 2], 0.2)
+        s = -fxB / (z * z)
+        zero = jnp.zeros_like(z)
+        return s[:, None] * jnp.stack(
+            [zero, zero, jnp.ones_like(z),
+             x_c[..., 1], -x_c[..., 0], zero], axis=-1)     # (N,6)
 
     # Chunked IRLS (same TPU-latency rationale as ops/align.py): the exact
     # per-iteration 6x6 Cholesky + exp chain is what the iteration's wall
@@ -75,12 +111,18 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
     chunks = max(1, min(cfg.refine_irls_chunks, cfg.refine_max_iters))
     inner = max(cfg.refine_max_iters // chunks - 1, 0)
     for ci in range(chunks):
-        x_c, r, w = residual(T)
+        x_c, r, w, r_d, w_d = residual(T)
         J = camera.proj_pose_jacobian(cam, x_c)             # (N,2,6)
         H = jnp.einsum("nri,n,nrj->ij", J, w, J,
                        preferred_element_type=jnp.float32)
         g = jnp.einsum("nri,n,nr->i", J, w, r,
                        preferred_element_type=jnp.float32)
+        if use_disp:
+            Jd = disp_jacobian(x_c)                         # (N,6)
+            H = H + jnp.einsum("ni,n,nj->ij", Jd, w_d, Jd,
+                               preferred_element_type=jnp.float32)
+            g = g + jnp.einsum("ni,n,n->i", Jd, w_d, r_d,
+                               preferred_element_type=jnp.float32)
         if use_prior:
             xi = se3.log(se3.compose(T, T_prior_inv))
             H = H + jnp.diag(lam)
@@ -93,9 +135,12 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
         T = se3.compose(se3.exp(-sol[6]), T)
 
         def body(it, T):
-            _, r, w_i = residual(T)
+            _, r, w_i, r_d_i, w_d_i = residual(T)
             g = jnp.einsum("nri,n,nr->i", J, w_i, r,
                            preferred_element_type=jnp.float32)
+            if use_disp:
+                g = g + jnp.einsum("ni,n,n->i", Jd, w_d_i, r_d_i,
+                                   preferred_element_type=jnp.float32)
             return se3.compose(se3.exp(-(Hinv @ g)), T)
 
         T = jax.lax.fori_loop(0, inner, body, T)

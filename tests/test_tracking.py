@@ -182,8 +182,13 @@ def test_klt_edgelet_constraint():
     img0 = np.tile(200.0 / (1 + np.exp(-(x - 128.0) / 2.0)), (H, 1))
     img1 = np.tile(200.0 / (1 + np.exp(-(x - 131.0) / 2.0)), (H, 1))
 
+    # epi_samples=0: the depth filter's epipolar search reuses KLT
+    # template patches and its validation rejects klt_levels=1 with the
+    # default epi_level=1 (config.__post_init__, r3) — no depth filter
+    # runs in this unit test
     cfg2 = SvoConfig(
-        camera=CFG.camera, klt_levels=1, klt_max_iters=12, klt_patch=8)
+        camera=CFG.camera, klt_levels=1, klt_max_iters=12, klt_patch=8,
+        epi_samples=0)
     lv0, gx0, gy0 = pyr_ops.build_with_gradients(
         jnp.asarray(img0), cfg2.num_levels)
     n = 4
