@@ -136,6 +136,152 @@ def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
     return lefts, rights, gts
 
 
+def _dispatch_roundtrip_ms() -> float:
+    """Median dispatch+fetch round trip for a trivial jitted op.
+
+    Lower bound on the fixed per-RUN overhead the remote-PJRT tunnel
+    charges a scan run; used as the physical-plausibility scale for the
+    slope fit's intercept (VERDICT r4 weak #1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    np.asarray(f(x))                      # compile
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def _timed_median(run, l, r, n, n_valid):
+    """Median wall time of `run(l, r)` (n frames) + samples + discards.
+
+    Pinned timing procedure (VERDICT r3 next #9): collect n_valid valid
+    runs, take the MEDIAN (not best — "chip got faster" must not be
+    confusable with "host got quieter") and count the runs the
+    timing-artifact guard discards. `run` must be a shared jitted callable
+    so retries reuse the compile."""
+    import jax
+    import numpy as np
+
+    state, outs = run(l, r)           # compile + warmup
+    np.asarray(outs.tracking_ok)
+    jax.block_until_ready(state)
+    times, n_disc = [], 0
+    for _ in range(n_valid * 3):
+        t0 = time.perf_counter()
+        state, outs = run(l, r)
+        # Through the remote PJRT tunnel block_until_ready can return
+        # before the computation actually finishes (observed r1
+        # occasionally, chronic by r3). A device→host fetch of a tiny
+        # output is the only reliable completion barrier.
+        np.asarray(outs.tracking_ok)
+        jax.block_until_ready((state, outs))
+        dt = time.perf_counter() - t0
+        if dt > n * 1e-4:
+            times.append(dt)
+            if len(times) >= n_valid:
+                break
+        else:
+            n_disc += 1
+    med = float(np.median(times)) if times else float("nan")
+    return med, times, n_disc, outs
+
+
+def _timed_chained(run, l, r, k=5):
+    """Wall time per run with k runs queued behind ONE completion barrier.
+
+    The fixed per-run tunnel overhead (dispatch + completion fetch) is
+    amortized /k, so this SLIGHTLY overestimates per-run cost (honest
+    direction for a fps headline) without differencing two noisy numbers.
+    Fallback when the slope fit fails its sanity gate (VERDICT r4 #1a)."""
+    import jax
+    import numpy as np
+
+    state, outs = run(l, r)
+    np.asarray(outs.tracking_ok)
+    jax.block_until_ready(state)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, outs = run(l, r)
+        np.asarray(outs.tracking_ok)
+        jax.block_until_ready((state, outs))
+        samples.append((time.perf_counter() - t0) / k)
+    return float(np.median(samples))
+
+
+def _slope_fit(run, l, r, n_frames, n_valid, dispatch_ms,
+               first=None):
+    """Sanity-gated slope timing → (fps, timing_fields).
+
+    The two-point slope (t(n) − t(n/2)) / (n/2) removes the fixed ~60 ms
+    per-RUN remote-PJRT overhead — but differencing two noisy medians can
+    amplify host-load noise into garbage (the r4 judged artifact published
+    34 fps with a physically impossible −1339 ms intercept). The fit now
+    defends itself (VERDICT r4 next #1a): the intercept must land in
+    [−2 ms, max(150 ms, 6× measured dispatch)] and the spread must be
+    ≤ 30%; one retry with 2× samples, then an honest fallback — chained-k
+    runs behind one completion barrier (overhead amortized /k, slight
+    UNDERestimate of fps) — with `timing_fallback` naming the path taken.
+    """
+    import numpy as np
+
+    n_half = n_frames // 2
+    hi_ms = max(150.0, 6.0 * dispatch_ms)
+
+    def attempt(n_valid):
+        if first is not None and n_valid == first[2]:
+            t_full, times, disc = first[0], first[1], 0
+        else:
+            t_full, times, disc, _ = _timed_median(
+                run, l, r, n_frames, n_valid)
+        t_half, _, disc_h, _ = _timed_median(
+            run, l[:n_half], r[:n_half], n_half, n_valid)
+        slope_s = (t_full - t_half) / (n_frames - n_half)
+        intercept_ms = (t_full - slope_s * n_frames) * 1e3
+        spread = (100.0 * (max(times) - min(times)) / t_full
+                  if times else float("nan"))
+        ok = (slope_s > 0 and -2.0 <= intercept_ms <= hi_ms
+              and spread == spread and spread <= 30.0)
+        return ok, slope_s, intercept_ms, spread, t_full, times, disc + disc_h
+
+    ok, slope_s, intercept_ms, spread, t_full, times, n_disc = attempt(
+        n_valid)
+    retried = False
+    if not ok:
+        retried = True
+        ok, slope_s, intercept_ms, spread, t_full, times, d2 = attempt(
+            2 * n_valid)
+        n_disc += d2
+    fallback = None
+    if ok:
+        fps = 1.0 / slope_s
+    else:
+        t_chain = _timed_chained(run, l, r)
+        fps = n_frames / t_chain
+        fallback = (f"chained_k5 ({t_chain * 1e3:.0f} ms/run, per-run "
+                    "overhead amortized /5) — slope fit failed sanity gate"
+                    + (" after retry" if retried else ""))
+    fields = {
+        "n_timing_runs": len(times), "n_discarded": n_disc,
+        "timing_spread_pct": round(spread, 1),
+        "fps_raw_single_run": round(n_frames / t_full, 2),
+        "per_run_overhead_ms": round(intercept_ms, 1),
+        "dispatch_roundtrip_ms": round(dispatch_ms, 1),
+        "timing_fallback": fallback,
+        "timing_method": f"slope over n={n_half},{n_frames}, "
+                         f"intercept gated to [-2, {hi_ms:.0f}] ms & "
+                         "spread <= 30% (see BASELINE.md r5)",
+    }
+    return fps, t_full, fields
+
+
 def _run(n_frames: int, repeats: int | None = None, cfg=None,
          scene_kind: str = "planes", perturb: bool = False,
          traj_kind: str = "arc"):
@@ -154,76 +300,23 @@ def _run(n_frames: int, repeats: int | None = None, cfg=None,
     lefts, rights, gt_T = _render_sequence(
         cfg.camera, n_frames, scene_kind, traj_kind, perturb)
 
-    def timed_median(l, r, n, n_valid):
-        """Median wall time of the scan over `n` frames + discard count.
-
-        Pinned timing procedure (VERDICT r3 next #9): collect n_valid
-        valid runs, take the MEDIAN (not best — "chip got faster" must
-        not be confusable with "host got quieter") and count the runs
-        the timing-artifact guard discards.
-        """
-        run = jax.jit(lambda a, b: runner.run_sequence_scan(cfg, a, b))
-        state, outs = run(l, r)           # compile + warmup
-        np.asarray(outs.tracking_ok)
-        jax.block_until_ready(state)
-        times, n_disc = [], 0
-        for _ in range(n_valid * 3):
-            t0 = time.perf_counter()
-            state, outs = run(l, r)
-            # Through the remote PJRT tunnel block_until_ready can return
-            # before the computation actually finishes (observed r1
-            # occasionally, chronic by r3: ~0.3 ms for a 100-frame scan
-            # while the RESULTS are still correct later). A device→host
-            # fetch of a tiny output is the only reliable completion
-            # barrier.
-            np.asarray(outs.tracking_ok)
-            jax.block_until_ready((state, outs))
-            dt = time.perf_counter() - t0
-            if dt > n * 1e-4:
-                times.append(dt)
-                if len(times) >= n_valid:
-                    break
-            else:
-                n_disc += 1
-        med = float(np.median(times)) if times else float("nan")
-        return med, times, n_disc, outs
-
     n_valid = repeats or N_VALID
-    t_full, times, n_discarded, outs = timed_median(
-        lefts, rights, n_frames, n_valid)
-    # Two-point slope fit: the remote-PJRT tunnel charges a fixed ~60 ms
-    # per RUN (dispatch + completion fetch) regardless of sequence length
-    # (measured: 84/108/132/181 ms at 20/40/60/100 frames — see
-    # bench_results/diag_scan_slope.py). That constant is a sandbox
-    # artifact, not pipeline cost (local-device dispatch is ~µs), and at
-    # n=100 it buried a third of the frame budget. The headline fps uses
-    # the slope (true per-frame cost); the raw single-run number is kept
-    # alongside.
-    n_half = n_frames // 2
-    t_half, _, disc_h, _ = timed_median(
-        lefts[:n_half], rights[:n_half], n_half, n_valid)
-    n_discarded += disc_h
-    slope_s = (t_full - t_half) / (n_frames - n_half)
-    fps = 1.0 / slope_s if slope_s > 0 else float("nan")
-    fps_raw = n_frames / t_full
-    overhead_ms = (t_full - slope_s * n_frames) * 1e3
-    spread_pct = (100.0 * (max(times) - min(times)) / t_full
-                  if times else float("nan"))
+    run = jax.jit(lambda a, b: runner.run_sequence_scan(cfg, a, b))
+    t_full0, times0, n_disc0, outs = _timed_median(
+        run, lefts, rights, n_frames, n_valid)
+    dispatch_ms = _dispatch_roundtrip_ms()
+    fps, t_full, timing = _slope_fit(
+        run, lefts, rights, n_frames, n_valid, dispatch_ms,
+        first=(t_full0, times0, n_valid))
+    timing["n_discarded"] += n_disc0
 
     est_T = np.asarray(outs.T_wc)
     err = ate.ate_rmse(ate.positions(est_T), ate.positions(gt_T))
     rpe_t, rpe_r = ate.rpe(est_T, gt_T)
     n_kf = int(np.asarray(outs.kf_inserted).sum())
     ok = float(np.asarray(outs.tracking_ok).mean())
-    timing = {"n_timing_runs": len(times), "n_discarded": n_discarded,
-              "timing_spread_pct": round(spread_pct, 1),
-              "fps_raw_single_run": round(fps_raw, 2),
-              "per_run_overhead_ms": round(overhead_ms, 1),
-              "timing_method": f"slope over n={n_half},{n_frames} "
-                               "(excludes fixed per-run remote-PJRT "
-                               "dispatch+fetch; see BASELINE.md r4)",
-              "gt_travel_m": round(float(np.sum(np.linalg.norm(
-                  np.diff(ate.positions(gt_T), axis=0), axis=-1))), 2)}
+    timing["gt_travel_m"] = round(float(np.sum(np.linalg.norm(
+        np.diff(ate.positions(gt_T), axis=0), axis=-1))), 2)
     return fps, err, n_kf, ok, (rpe_t, rpe_r), timing
 
 
@@ -268,56 +361,39 @@ def _run_batched(n_frames: int, batch: int = 8,
     from stereo_svo_tpu.config import SvoConfig
     from stereo_svo_tpu.engine import runner
     from stereo_svo_tpu.eval import ate
-    from stereo_svo_tpu.io import synthetic
 
     cfg = SvoConfig(kf_every=kf_every) if kf_every > 1 else SvoConfig()
     cam = cfg.camera
+    # per-sequence renders go through _render_sequence so they hit the
+    # same on-disk cache as the single-sequence path (VERDICT r4 weak #2:
+    # the batched path re-rendered 8x25 frames through the tunnel on every
+    # default bench invocation)
     lefts, rights = [], []
     gts = None
     for b in range(batch):
-        scene = synthetic.default_scene(b)
-        render = jax.jit(lambda T, s=scene: synthetic.render_stereo(cam, T, s))
-        ls, rs, g = [], [], []
-        for i in range(n_frames):
-            T = synthetic.trajectory_pose(jnp.asarray(i * 0.08, jnp.float32))
-            l, r = render(T)
-            ls.append(l)
-            rs.append(r)
-            g.append(np.asarray(T))
-        lefts.append(jnp.stack(ls))
-        rights.append(jnp.stack(rs))
-        gts = np.stack(g)              # same trajectory for every sequence
+        l, r, gts = _render_sequence(cam, n_frames, "planes", "arc",
+                                     seed=b)
+        lefts.append(l)
+        rights.append(r)
     lefts = jnp.stack(lefts)
     rights = jnp.stack(rights)
     jax.block_until_ready((lefts, rights))
 
-    def timed(l, r, n):
-        run = jax.jit(lambda a, b: runner.run_sequence_batched(cfg, a, b))
-        st, outs = run(l, r)
-        np.asarray(outs.tracking_ok)
-        jax.block_until_ready(st)
-        times, n_disc = [], 0
-        for _ in range(N_VALID * 3):      # pinned procedure — see _run
-            t0 = time.perf_counter()
-            st, outs = run(l, r)
-            np.asarray(outs.tracking_ok)  # completion barrier (see _run)
-            jax.block_until_ready((st, outs))
-            dt = time.perf_counter() - t0
-            if dt > n * 1e-4:     # see artifact guard in _run
-                times.append(dt)
-                if len(times) >= N_VALID:
-                    break
-            else:
-                n_disc += 1
-        return (float(np.median(times)) if times else float("nan"),
-                n_disc, outs)
-
-    t_full, n_disc, outs = timed(lefts, rights, n_frames)
+    run = jax.jit(lambda a, b: runner.run_sequence_batched(cfg, a, b))
+    t_full, times, n_disc, outs = _timed_median(
+        run, lefts, rights, n_frames, N_VALID)
     n_half = n_frames // 2
-    t_half, disc_h, _ = timed(lefts[:, :n_half], rights[:, :n_half], n_half)
+    t_half, _, disc_h, _ = _timed_median(
+        run, lefts[:, :n_half], rights[:, :n_half], n_half, N_VALID)
     ok = float(np.asarray(outs.tracking_ok).mean())
-    # slope fit, see _run: per-run tunnel overhead excluded
-    fps = batch * (n_frames - n_half) / (t_full - t_half)
+    # slope fit, see _slope_fit: per-run tunnel overhead excluded; the
+    # denominator is guarded (ADVICE r4: timing noise with
+    # t_half >= t_full must not publish a negative/infinite headline)
+    if t_full > t_half:
+        fps = batch * (n_frames - n_half) / (t_full - t_half)
+    else:
+        t_chain = _timed_chained(run, lefts, rights)
+        fps = batch * n_frames / t_chain
     est = np.asarray(outs.T_wc)                       # (B, T, 3, 4)
     errs = [ate.ate_rmse(ate.positions(est[b]), ate.positions(gts))
             for b in range(batch)]

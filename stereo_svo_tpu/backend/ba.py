@@ -179,13 +179,15 @@ def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
     Schur-complement BA step (parallel/dist_ba.py).
 
     solver: "direct" (default) solves the reduced camera system (6K x 6K,
-    K <= 10 → 60x60) with one dense Cholesky — the single-device fast
-    path. "cg" runs the fixed-iteration Jacobi-CG; it exists for the
-    distributed solver, whose matvecs consume psum-reduced blocks, and as
-    the large-K fallback. At the window's size CG-40 was pure serial
-    latency: 40 dependent tiny matvec/axpy steps measured ~0.9 ms of the
-    1.45 ms BA call (r4 per-op accounting), vs ~40 µs for the direct
-    factorization.
+    K <= 10 → 60x60) with one dense Cholesky. The distributed path
+    (parallel/dist_ba.py) also uses "direct": its reduce_fn psum fully
+    reduces S/rhs, so every device holds the complete reduced system and
+    the replicated factorization is valid (equivalence vs single-device:
+    tests/test_parallel.py). "cg" is the fixed-iteration Jacobi-CG
+    fallback for window sizes where a dense factorization won't fit. At
+    the default window size CG-40 was pure serial latency: 40 dependent
+    tiny matvec/axpy steps measured ~0.9 ms of the 1.45 ms BA call (r4
+    per-op accounting), vs ~40 µs for the direct factorization.
     """
     K = T_kw.shape[0]
     Hpp, Hll, Hpl, gp, gl, cost = _linearize(

@@ -164,9 +164,20 @@ def run_online_loop(cfg: SvoConfig, st: SlamState) -> SlamState:
         # trust guard (teleport protection) + significance floor (don't
         # kink the pose history for edge-noise-sized corrections — the
         # depth filters absorb each kink as biased triangulations) + a
-        # gauge must exist outside the window
+        # gauge must exist outside the window. The guard bounds EVERY
+        # valid bank slot's correction, not just the newest keyframe's
+        # (ADVICE r4): non-owned slots take T_opt wholesale below, so a
+        # false loop edge that barely moves m_new could still teleport
+        # mid-bank poses used for relocalization and future loop queries.
         dr, dt = se3.distance(T_opt[m_new], st.mem_T_wk[m_new])
-        ok = ((dt < cfg.online_loop_max_t) & (dr < cfg.online_loop_max_r)
+        dr_all, dt_all = jax.vmap(se3.distance)(T_opt, st.mem_T_wk)
+        # owned slots move rigidly by delta_last (magnitude == dt), so the
+        # bank-wide bound applies T_opt's delta to non-owned slots only
+        nonowned = st.mem_valid & ~owned_mem
+        dt_max = jnp.maximum(jnp.max(jnp.where(nonowned, dt_all, 0.0)), dt)
+        dr_max = jnp.maximum(jnp.max(jnp.where(nonowned, dr_all, 0.0)), dr)
+        ok = ((dt_max < cfg.online_loop_max_t)
+              & (dr_max < cfg.online_loop_max_r)
               & ((dt > cfg.online_loop_min_t)
                  | (dr > cfg.online_loop_min_r))
               & jnp.any(elig)

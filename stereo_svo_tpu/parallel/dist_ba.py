@@ -73,9 +73,14 @@ def bundle_adjust_sharded(mesh, cam: CameraConfig, cfg: SvoConfig,
 
         def body(carry, _):
             T_kw, X_s = carry
+            # solver pinned explicitly (ADVICE r4): the reduced system
+            # S/rhs is fully psum-reduced above, so every device holds the
+            # complete 6K x 6K system and the replicated direct Cholesky
+            # is valid (and faster) here too; "cg" remains the fallback
+            # for window sizes where a dense factorization won't fit.
             T_kw, X_s, cost = ba.ba_iteration(
                 cam, cfg, T_kw, X_s, obs_s, obs_ur, w_rows, fixed,
-                reduce_fn=psum)
+                reduce_fn=psum, solver="direct")
             return (T_kw, X_s), cost
 
         (T_kw, X_s), _ = jax.lax.scan(body, (T_kw, X_s), None,

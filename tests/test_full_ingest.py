@@ -132,3 +132,70 @@ def test_euroc_native_loader_to_ate(tmp_path, rendered, capsys):
     assert summary["frames"] == N_FRAMES
     assert summary["tracking_ok_frac"] == 1.0
     assert err < 0.05, err
+
+
+KITTI_FLAT_CALIB = FLAT_CALIB + f"""
+fx: {CAM.fx}
+fy: {CAM.fy}
+cx: {CAM.cx}
+cy: {CAM.cy}
+baseline: {CAM.baseline}
+width: {CAM.width}
+height: {CAM.height}
+"""
+
+
+def _write_kitti(tmp_path, lefts, rights):
+    """KITTI odometry disk layout: sequences/<seq>/image_{0,1}/*.png +
+    times.txt (datasets.kitti_frames / native_loader.kitti_native)."""
+    base = tmp_path / "kitti" / "sequences" / "00"
+    for side, imgs in (("image_0", lefts), ("image_1", rights)):
+        d = base / side
+        d.mkdir(parents=True)
+        for i, img in enumerate(imgs):
+            cv2.imwrite(str(d / f"{i:06d}.png"),
+                        np.clip(img, 0, 255).astype(np.uint8))
+    with open(base / "times.txt", "w") as f:
+        f.writelines(f"{i * 0.1:.6e}\n" for i in range(len(lefts)))
+    return tmp_path / "kitti"
+
+
+def _run_cli_kitti(tmp_path, root, gt, extra=()):
+    flat = tmp_path / "algo_kitti.yaml"
+    flat.write_text(KITTI_FLAT_CALIB)
+    out = tmp_path / "traj_kitti.tum"
+    argv = ["--dataset", "kitti", "--root", str(root), "--seq", "00",
+            "--calib", str(flat), "--out", str(out), *extra]
+    cli.main(argv)
+    _, pos = trajectory.load_tum(str(out))
+    assert pos.shape[0] == N_FRAMES
+    return ate_mod.ate_rmse(pos, ate_mod.positions(np.asarray(gt)))
+
+
+def test_kitti_layout_png_to_ate(tmp_path, rendered, capsys):
+    """KITTI disk layout through --dataset kitti (VERDICT r4 next #8: the
+    EuRoC chain was e2e-proven in r4, the KITTI layout never was): PNG
+    decode → image_0/image_1 pairing → times.txt → flat-calib override of
+    kitti_config → engine → TUM export → ATE."""
+    lefts, rights, gt = rendered
+    root = _write_kitti(tmp_path, lefts, rights)
+    err = _run_cli_kitti(tmp_path, root, gt)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["frames"] == N_FRAMES
+    assert summary["tracking_ok_frac"] == 1.0
+    assert err < 0.05, err
+
+
+def test_kitti_native_loader_to_ate(tmp_path, rendered, capsys):
+    """Same KITTI chain through the C++ frame loader (--native-loader)."""
+    from stereo_svo_tpu.io import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not built and unbuildable here")
+    lefts, rights, gt = rendered
+    root = _write_kitti(tmp_path, lefts, rights)
+    err = _run_cli_kitti(tmp_path, root, gt, extra=("--native-loader",))
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["frames"] == N_FRAMES
+    assert summary["tracking_ok_frac"] == 1.0
+    assert err < 0.05, err

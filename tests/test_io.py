@@ -197,3 +197,49 @@ def test_video_frames_side_by_side_and_two_file(tmp_path):
     assert got2[2][0].shape == (h, w)
     assert np.corrcoef(got2[2][1].reshape(-1),
                        frames_r[2].reshape(-1))[0, 1] > 0.9
+
+
+def test_checkpoint_format_v2_path_keys_and_migration(tmp_path):
+    """Checkpoint leaves are keyed by pytree path (ADVICE r4): adding a
+    field to the state no longer breaks old checkpoints — missing keys
+    keep the load-template's value — and the v1 index format still reads
+    when the leaf count matches."""
+    from typing import NamedTuple
+
+    from stereo_svo_tpu.utils import checkpoint
+
+    class Old(NamedTuple):
+        mu: np.ndarray
+        nested: dict
+
+    class New(NamedTuple):
+        mu: np.ndarray
+        nested: dict
+        extra: np.ndarray          # field added after the file was written
+
+    old = Old(mu=np.arange(4.0), nested={"a": np.ones((2, 2))})
+    p = str(tmp_path / "v2.npz")
+    checkpoint.save(p, old)
+
+    # same-structure roundtrip
+    back = checkpoint.load(p, Old(mu=np.zeros(4), nested={"a": np.zeros((2, 2))}))
+    np.testing.assert_array_equal(back.mu, old.mu)
+    np.testing.assert_array_equal(back.nested["a"], old.nested["a"])
+
+    # newer structure: the added leaf keeps the template default
+    tmpl = New(mu=np.zeros(4), nested={"a": np.zeros((2, 2))},
+               extra=np.full(3, 7.0))
+    mig = checkpoint.load(p, tmpl)
+    np.testing.assert_array_equal(mig.mu, old.mu)
+    np.testing.assert_array_equal(mig.extra, np.full(3, 7.0))
+
+    # v1 legacy file (index-keyed) still loads on exact structure match
+    import jax
+
+    leaves, _ = jax.tree.flatten(old)
+    p1 = str(tmp_path / "v1.npz")
+    np.savez(p1, **{f"leaf_{i}": np.asarray(x)
+                    for i, x in enumerate(leaves)})
+    legacy = checkpoint.load(
+        p1, Old(mu=np.zeros(4), nested={"a": np.zeros((2, 2))}))
+    np.testing.assert_array_equal(legacy.mu, old.mu)
