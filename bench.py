@@ -99,14 +99,35 @@ def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
     aa = 2 if scene_kind.startswith("road") else 1
     cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_results")
-    cache = os.path.join(
-        cdir, f"seq_{scene_kind}_{traj_kind}_{cam.width}x{cam.height}"
-              f"_{n_frames}f_p{int(perturb)}_s{seed}_dt{dt}"
-              + (f"_aa{aa}" if aa > 1 else "") + ".npz")
+
+    def cache_name(n):
+        return os.path.join(
+            cdir, f"seq_{scene_kind}_{traj_kind}_{cam.width}x{cam.height}"
+                  f"_{n}f_p{int(perturb)}_s{seed}_dt{dt}"
+                  + (f"_aa{aa}" if aa > 1 else "") + ".npz")
+
+    cache = cache_name(n_frames)
     src_mtime = os.path.getmtime(synthetic.__file__)
-    if os.path.exists(cache) and os.path.getmtime(cache) > src_mtime:
-        d = np.load(cache)
-        return (jnp.asarray(d["l"]), jnp.asarray(d["r"]), d["g"])
+    # a LONGER cached sequence of the same params serves any prefix (the
+    # trajectory is time-parameterized, frame i is identical) — slicing
+    # beats re-rendering AND re-transferring (a 700-frame KITTI-res
+    # sequence is ~1.3 GB through the tunnel)
+    import glob as glob_mod
+    pat = cache_name("*")
+    cands = []
+    for p in glob_mod.glob(pat):
+        try:
+            n = int(p[len(pat.split("*")[0]):].split("f_")[0])
+        except ValueError:
+            continue
+        if n >= n_frames and os.path.getmtime(p) > src_mtime:
+            cands.append((n, p))
+    if cands:
+        _, best = min(cands)
+        d = np.load(best)
+        return (jnp.asarray(d["l"][:n_frames]).astype(jnp.float32),
+                jnp.asarray(d["r"][:n_frames]).astype(jnp.float32),
+                d["g"][:n_frames])
 
     scene = synthetic.get_scene(scene_kind, seed)
     render = jax.jit(
@@ -130,7 +151,11 @@ def _render_sequence(cam, n_frames, scene_kind="planes", traj_kind="arc",
     gts = np.stack(gts)
     try:
         os.makedirs(cdir, exist_ok=True)
-        np.savez(cache, l=np.asarray(lefts), r=np.asarray(rights), g=gts)
+        # float16 on disk: renders are 0-255 intensities (integers exact
+        # in f16, fractional parts within ~0.06 — far below sensor
+        # noise); halves disk + reload-transfer cost
+        np.savez(cache, l=np.asarray(lefts, np.float16),
+                 r=np.asarray(rights, np.float16), g=gts)
     except OSError:
         pass
     return lefts, rights, gts

@@ -38,6 +38,9 @@ gt_step = np.linalg.norm(np.diff(gts[:, :, 3], axis=0), axis=1)
 ratio = est_step / np.maximum(gt_step, 1e-9)
 err = ate.ate_rmse(ate.positions(est), ate.positions(gts))
 travel = float(np.sum(gt_step))
+np.savez(os.path.join("bench_results", f"road{N}_dump.npz"),
+         ok=ok, nt=nt, ns=ns, nl=nl, md=md, kf=kf, est=est, gts=gts,
+         ac=ac, rr=rr, sd=sd)
 print(json.dumps({"n": N, "ate": round(float(err), 3),
                   "travel": round(travel, 1),
                   "pct": round(100 * float(err) / travel, 2),
@@ -48,6 +51,16 @@ bad = np.where(~ok)[0]
 print("first_bad:", bad[:15].tolist(), "n_bad:", len(bad))
 kfl = np.where(kf)[0]
 print("kf_frames:", kfl.tolist())
+bd = np.asarray(outs.ba_diag)          # (T,7) last BA call at each frame
+for f in kfl:
+    if f == 0:
+        continue
+    dt_, dr_, dz, ci, cf, acc, nobs = bd[f]
+    print(json.dumps({"kf_f": int(f), "ba_dt": round(float(dt_), 3),
+                      "ba_dz_fwd": round(float(dz), 3),
+                      "ba_dr": round(float(dr_), 4),
+                      "cost": [round(float(ci), 1), round(float(cf), 1)],
+                      "acc": int(acc), "nobs": int(nobs)}))
 for f in range(0, N, 10):
     print(json.dumps({"f": f, "ok": int(ok[f]), "trk": int(nt[f]),
                       "seed": int(ns[f]), "lm": int(nl[f]),

@@ -69,6 +69,14 @@ def _linearize(cam: CameraConfig, cfg: SvoConfig,
     """
     x_c = se3.transform(T_kw[:, None], X[None])          # (K,N,3)
     uv, front = cam_mod.project(cam, x_c)
+    # Near-plane gate: as the estimate drifts, a landmark can slide to
+    # tiny positive depth in SOME window camera. Its Jacobian energy
+    # (∝ fx²/z⁴) then floods the f32 reduced system — entries ~1e18 next
+    # to the 1e-3 damping floor — and the Cholesky NaNs (measured: the
+    # road_long BA died with cost_final=NaN at the first eviction and
+    # never recovered, r5 forensics). A sub-25 cm observation row carries
+    # no usable constraint for these rigs; zero its weight.
+    front = front & (x_c[..., 2] > 0.25)
     z = jnp.maximum(x_c[..., 2], 1e-3)
     u_r = cam.fx * (x_c[..., 0] - cam.baseline) / z + cam.cx
     r = jnp.concatenate([uv - obs_uv, (u_r - obs_ur)[..., None]],
@@ -195,8 +203,17 @@ def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
     S, rhs, Hll_inv, W = _schur_reduce(Hpp, Hll, Hpl, gp, gl, lam,
                                        fixed_mask, reduce_fn)
     if solver == "direct":
-        dp = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(S), rhs).reshape(K, 6)
+        # Jacobi (symmetric diagonal) preconditioning before the f32
+        # Cholesky: driving-scale windows mix O(1e6+) constrained
+        # directions with O(1e-3) damped-only ones in S — condition
+        # numbers far past f32's factorization range produce negative
+        # pivots → NaN. Scaling by D^-1/2 S D^-1/2 bounds the diagonal at
+        # 1 and costs two (6K,) multiplies.
+        d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+        S_hat = S * d[:, None] * d[None, :]
+        y = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S_hat), rhs * d)
+        dp = (y * d).reshape(K, 6)
     else:
         # Jacobi-preconditioned CG, fixed iteration count (static graph)
         dp = solve_ops.cg_solve(S, rhs, iters=40).reshape(K, 6)
@@ -208,6 +225,18 @@ def ba_iteration(cam: CameraConfig, cfg: SvoConfig,
     # clamp pathological steps (masked/degenerate landmarks)
     dl = jnp.clip(dl, -1.0, 1.0)
     dp = dp * (1.0 - fixed_mask)[:, None]
+    # Finite-step guard: one non-finite solve (adversarial geometry past
+    # every gate) must cost that ITERATION, not poison the GN carry — a
+    # NaN step would propagate through T_kw/X into every later iteration
+    # and disable BA for the rest of the run (the pre-r5 road_long
+    # failure mode; the divergence guard in engine/step.run_window_ba
+    # only rejects the final result). Poses are guarded on pose data only
+    # (replicated/shard-invariant under shard_map); landmarks per-row
+    # (shard-local) — mixing dl into the pose guard would make the pose
+    # carry shard-varying.
+    dp = jnp.where(jnp.all(jnp.isfinite(dp)), dp, 0.0)
+    dl = jnp.where(jnp.all(jnp.isfinite(dl), axis=-1, keepdims=True),
+                   dl, 0.0)
 
     T_kw_new = jax.vmap(lambda t, d: se3.compose(se3.exp(d), t))(T_kw, dp)
     X_new = X + dl
@@ -252,14 +281,28 @@ def bundle_adjust(cam: CameraConfig, cfg: SvoConfig,
     obs_ur = obs_uv[..., 0] - obs_disp
     w_rows = obs_weights(kf_valid, X_mask, obs_mask, obs_dmask)
 
+    # A keyframe only participates as a FREE pose if it still observes
+    # enough live landmarks. Feature-slot recycling erodes old keyframes'
+    # observation rows (a new feature in a reused slot clears the slot's
+    # column in every older row — keyframe.insert hygiene); once the
+    # oldest keyframe's row empties, pinning it as gauge constrains
+    # nothing and the remaining window is a disconnected component with
+    # full 6-DoF gauge freedom — the solver then slides the whole free
+    # window along exact null directions (measured on road_long r5:
+    # +0.40-0.46 m pure-forward proposals with bitwise-equal
+    # cost_initial == cost_final at every post-eviction call, BA
+    # effectively dead). Freeze under-constrained keyframes and choose
+    # the gauge among constrained ones.
+    n_obs_k = jnp.sum(w_rows[..., 0] > 0, axis=1)          # (K,)
+    constrained = kf_valid & (n_obs_k >= 4)
     if kf_stamp is not None:
         big = jnp.asarray(2 ** 30, kf_stamp.dtype)
-        first_valid = jnp.argmin(jnp.where(kf_valid, kf_stamp, big))
+        first_valid = jnp.argmin(jnp.where(constrained, kf_stamp, big))
     else:
-        first_valid = jnp.argmax(kf_valid)     # first True (legacy)
+        first_valid = jnp.argmax(constrained)  # first True (legacy)
     fixed_mask = (jnp.arange(K) == first_valid).astype(jnp.float32)
     fixed_mask = jnp.clip(
-        fixed_mask + (1.0 - kf_valid.astype(jnp.float32)), 0.0, 1.0)
+        fixed_mask + (1.0 - constrained.astype(jnp.float32)), 0.0, 1.0)
 
     def body(carry, _):
         T_kw, X = carry

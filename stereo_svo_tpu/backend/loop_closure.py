@@ -328,6 +328,14 @@ class LoopMeasurement(NamedTuple):
     inlier_frac: jnp.ndarray  # (E,)
     cost: jnp.ndarray         # (E,) final mean robust photometric cost
     accept: jnp.ndarray       # (E,) bool
+    rt_t: jnp.ndarray         # (E,) round-trip translation error (m) —
+    rt_r: jnp.ndarray         # (E,) …and rotation (rad): ‖Z_ij ∘ Z_ji‖.
+                              # The edge's own empirical noise estimate:
+                              # the forward and reverse alignments use
+                              # INDEPENDENT templates (i's vs j's stereo
+                              # snapshot), so measurement bias decorrelates
+                              # between them, while true drift enters both
+                              # consistently and cancels in the round trip.
 
 
 def measure_edges(cfg: SvoConfig, props: LoopProposals,
@@ -371,8 +379,23 @@ def measure_edges(cfg: SvoConfig, props: LoopProposals,
             stats["align_cost"]
 
     Z, frac, cost = jax.vmap(one)(props.edges_ij, props.valid)
-    accept = props.valid & (frac >= cfg.loop_accept_frac)
-    return LoopMeasurement(Z=Z, inlier_frac=frac, cost=cost, accept=accept)
+    # Reverse measurement (j's template onto i's thumbnail) → round-trip
+    # error = per-edge empirical noise (see LoopMeasurement.rt_t). Also a
+    # hard consistency gate: an edge whose two directions disagree beyond
+    # loop_rt_max_t/r is ambiguous (repeated structure, blur, bad depth
+    # snapshot) regardless of its photometric inlier fraction — measured:
+    # on a drift-free out-and-back run such edges injected 3-8 cm
+    # phantom corrections that compounded to 0.3-0.5 m of error once
+    # applied (r5 organic-drift probes).
+    Z_rev, frac_r, _ = jax.vmap(one)(props.edges_ij[:, ::-1], props.valid)
+    rt = jax.vmap(lambda a, b: se3.distance(se3.compose(a, b),
+                                            se3.identity()))(Z, Z_rev)
+    rt_r, rt_t = rt
+    accept = (props.valid & (frac >= cfg.loop_accept_frac)
+              & (frac_r >= cfg.loop_accept_frac)
+              & (rt_t < cfg.loop_rt_max_t) & (rt_r < cfg.loop_rt_max_r))
+    return LoopMeasurement(Z=Z, inlier_frac=frac, cost=cost, accept=accept,
+                           rt_t=rt_t, rt_r=rt_r)
 
 
 def close_loops(cfg: SvoConfig, kf_T_wk: jnp.ndarray, kf_valid: jnp.ndarray,

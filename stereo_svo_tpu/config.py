@@ -149,6 +149,18 @@ class SvoConfig:
                                    # keyframe at (BASELINE.md r3
                                    # KITTI-geometry root cause)
     refine_prior_r_sig: float = 0.02
+    refine_whiten_depth: bool = False  # fold the depth posterior's
+                                   # uncertainty into the refiner's row
+                                   # noise (σ_reproj² += (fx·‖t_ck‖·σ_μ)²,
+                                   # σ_disp² += (fx·B·σ_μ)²). Principled
+                                   # (estimated depth is not exact) but
+                                   # MEASURED WORSE at driving scale
+                                   # (road_long 400f ATE 7.2 → 26.2, r5):
+                                   # downweighting fresh seeds removes
+                                   # real metric information faster than
+                                   # it removes noise coupling — like
+                                   # seed_sigma_floor, left off with the
+                                   # result recorded.
     refine_stereo_weight: float = 1.0  # weight of the per-frame stereo
                                    # disparity residual rows in the pose
                                    # refiner (0 disables). Mono
@@ -166,6 +178,26 @@ class SvoConfig:
 
     # --- depth filter (ref: DepthFilter) ---
     seed_sigma_ratio: float = 0.05  # convergence: sigma < ratio * depth_range
+    seed_sigma_floor: float = 0.0  # posterior σ floor as a ratio of μ
+                                   # (inverse depth; 0 disables —
+                                   # MEASURED HARMFUL at driving scale
+                                   # and left off). Rationale tried
+                                   # (r5): motion-triangulation
+                                   # measurements share the pose error,
+                                   # so σ² collapses toward a correlated
+                                   # consensus and the per-frame stereo
+                                   # refresh loses traction. But the
+                                   # refresh is pose-free only in the
+                                   # CURRENT camera frame — mapping it
+                                   # onto the anchor ray goes through
+                                   # the drifted relative pose, so
+                                   # highly-responsive landmarks track
+                                   # the pose bias FASTER: road_long
+                                   # 400f ATE went 7.2 m (floor 0) →
+                                   # 42.5 m (floor 0.02) with tracking
+                                   # intact — smooth scale runaway.
+                                   # Keep 0 unless the anchor transport
+                                   # is made drift-proof.
     seed_max_updates: int = 60
     px_noise: float = 1.0          # 1-px measurement noise assumption
     stereo_refresh_window: int = 10  # per-frame stereo reobservation:
@@ -192,6 +224,19 @@ class SvoConfig:
                                    # collapse root-cause). ±10 tolerates
                                    # ~16% drift on 60 px features.
                                    # 0 disables.
+    stereo_refresh_landmarks: bool = True  # include converged LANDMARKS
+                                   # in the per-frame stereo refresh (not
+                                   # just seeds). The refresh's anchor
+                                   # transport rides the current relative
+                                   # pose, so at long horizon it can leak
+                                   # pose drift into landmark depths;
+                                   # False restricts the refresh to
+                                   # seeds (landmarks then update only
+                                   # through window BA). Measured r3:
+                                   # True helped (+2-3% landmark bias
+                                   # without it, pre-gauge-fix BA); r5
+                                   # re-raced post-gauge-fix — see
+                                   # BASELINE.md r5 road table.
     # per-seed epipolar search for KLT-lost seeds (ref DepthFilter's 1-D
     # search along the epipolar line; SURVEY.md §3.5)
     epi_samples: int = 16          # ZNCC probes along the μ±3σ segment
@@ -237,6 +282,13 @@ class SvoConfig:
                                    # sized for EuRoC-scale scenes blocks
                                    # BA from repairing a mis-anchored
                                    # keyframe on driving-scale scenes
+    ba_trust_clamp: bool = False   # True: apply an out-of-trust proposal
+                                   # as a geodesic partial step scaled to
+                                   # the trust radius instead of
+                                   # rejecting it wholesale (binary
+                                   # rejection discards exactly the large
+                                   # legitimate recovery pulls at driving
+                                   # scale — r5 road forensics)
 
     # --- place recognition / loop closure (backend/loop_closure.py) ---
     # The reference has no loop closure (SVO is pure odometry); the pose
@@ -273,6 +325,23 @@ class SvoConfig:
                                    # to the most recent keyframe
     loop_max_edges: int = 8        # fixed loop-edge capacity (masked)
     loop_accept_frac: float = 0.6  # min photometric inlier frac to accept
+    loop_rt_max_t: float = 0.30    # round-trip consistency gate: reject an
+    loop_rt_max_r: float = 0.15    # edge whose forward and reverse
+                                   # measurements (independent templates)
+                                   # disagree beyond this (m, rad) — an
+                                   # ambiguous alignment, however
+                                   # photometrically confident
+    online_loop_noise_k: float = 2.0  # adaptive significance floor: apply
+                                   # an online correction only if it
+                                   # exceeds k × the worst accepted
+                                   # edge's round-trip error — the
+                                   # edge-noise-scaled version of
+                                   # online_loop_min_t (a static floor
+                                   # cannot know the rig/scene's edge
+                                   # accuracy; measured r5: 2 cm floor +
+                                   # ~5 cm edge noise applied 6-9 phantom
+                                   # corrections on a drift-free run and
+                                   # compounded 0.3-0.5 m of error)
     # --- ONLINE loop closure (engine-integrated; VERDICT r3 next #5) ---
     # The offline path (refine_trajectory) repairs drift only after the
     # run; with online_loop_every > 0 the engine ALSO closes loops live:

@@ -96,6 +96,15 @@ class SlamState(NamedTuple):
     obs_dmask: jnp.ndarray   # (K,N) bool — disparity measured & trusted
     obs_sig: jnp.ndarray     # (K,N) observation px noise (2^detection level)
 
+    # --- diagnostics ---
+    ba_diag: jnp.ndarray     # (7,) last window-BA call: [proposed |dt|,
+                             # proposed |dr|, signed forward move of the
+                             # newest KF (its camera z), cost_initial,
+                             # cost_final, accepted, n_obs] — surfaced
+                             # per-frame in FrameOut (scan-safe
+                             # instrumentation; jax.debug.print is
+                             # unsupported through the axon tunnel)
+
 
 class FrameOut(NamedTuple):
     """Per-frame output + structured metrics (SURVEY.md §5.5)."""
@@ -116,6 +125,8 @@ class FrameOut(NamedTuple):
                                  # the epipolar search instead (the
                                  # reference DepthFilter's 1-D search;
                                  # VERDICT r1 #4 done-criterion metric)
+    ba_diag: jnp.ndarray         # (7,) state.ba_diag snapshot (last BA
+                                 # call's proposed move/cost/acceptance)
 
 
 def init_state(cfg: SvoConfig) -> SlamState:
@@ -182,4 +193,5 @@ def init_state(cfg: SvoConfig) -> SlamState:
         obs_disp=jnp.zeros((K, N), f32),
         obs_dmask=jnp.zeros((K, N), bool),
         obs_sig=jnp.ones((K, N), f32),
+        ba_diag=jnp.zeros(7, f32),
     )

@@ -70,8 +70,31 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
     # solver latched onto outliers, and committing it would corrupt the
     # alignment template chain irrecoverably (observed failure mode).
     dr, dt = se3.distance(kf_T_wk[st.last_kf], st.kf_T_wk[st.last_kf])
-    ok = ((stats.cost_final < stats.cost_initial)
-          & (dt < cfg.ba_trust_t) & (dr < cfg.ba_trust_r))
+    if cfg.ba_trust_clamp:
+        # Damped acceptance: a proposal beyond the trust region applies
+        # as a geodesic PARTIAL step scaled to the trust radius instead
+        # of being discarded. Binary rejection threw away exactly the
+        # large legitimate recovery pulls (road_long r5: 0.4-0.8 m
+        # proposals with 3-4x cost drops rejected at trust 0.40 while
+        # drift compounded).
+        s = jnp.minimum(1.0, jnp.minimum(
+            cfg.ba_trust_t / jnp.maximum(dt, 1e-9),
+            cfg.ba_trust_r / jnp.maximum(dr, 1e-9)))
+        kf_T_wk = jax.vmap(lambda Tp, To: se3.compose(
+            se3.exp(s * se3.log(se3.compose(Tp, se3.inverse(To)))), To))(
+            kf_T_wk, st.kf_T_wk)
+        X_new = X + s * (X_new - X)
+        ok = stats.cost_final < stats.cost_initial
+    else:
+        ok = ((stats.cost_final < stats.cost_initial)
+              & (dt < cfg.ba_trust_t) & (dr < cfg.ba_trust_r))
+    # signed forward component of the newest keyframe's proposed move,
+    # in its own camera frame (z > 0 = BA pushed it forward)
+    delta_c = se3.transform(se3.inverse(st.kf_T_wk[st.last_kf]),
+                            se3.translation(kf_T_wk[st.last_kf])[None])[0]
+    ba_diag = jnp.stack([dt, dr, delta_c[2], stats.cost_initial,
+                         stats.cost_final, ok.astype(jnp.float32),
+                         stats.n_obs.astype(jnp.float32)])
     kf_T_wk = jnp.where(ok, kf_T_wk, st.kf_T_wk)
     X_new = jnp.where(ok, X_new, X)
 
@@ -97,7 +120,8 @@ def run_window_ba(cfg: SvoConfig, st: SlamState) -> SlamState:
     mem_T = st.mem_T_wk.at[jnp.where(owns, st.kf_mem,
                                      st.mem_T_wk.shape[0])].set(
         kf_T_wk, mode="drop")
-    return st._replace(kf_T_wk=kf_T_wk, mu=mu, mem_T_wk=mem_T)
+    return st._replace(kf_T_wk=kf_T_wk, mu=mu, mem_T_wk=mem_T,
+                       ba_diag=ba_diag)
 
 
 def run_online_loop(cfg: SvoConfig, st: SlamState) -> SlamState:
@@ -176,10 +200,21 @@ def run_online_loop(cfg: SvoConfig, st: SlamState) -> SlamState:
         nonowned = st.mem_valid & ~owned_mem
         dt_max = jnp.maximum(jnp.max(jnp.where(nonowned, dt_all, 0.0)), dt)
         dr_max = jnp.maximum(jnp.max(jnp.where(nonowned, dr_all, 0.0)), dr)
+        # adaptive significance floor: the worst accepted edge's
+        # round-trip error is that edge's own noise estimate — a
+        # correction smaller than k× it is indistinguishable from edge
+        # noise and must not kink the pose history (static floors
+        # under-gate crisp rigs and over-gate blurry ones; see
+        # config.online_loop_noise_k)
+        noise_t = jnp.max(jnp.where(meas.accept, meas.rt_t, 0.0))
+        noise_r = jnp.max(jnp.where(meas.accept, meas.rt_r, 0.0))
+        floor_t = jnp.maximum(cfg.online_loop_min_t,
+                              cfg.online_loop_noise_k * noise_t)
+        floor_r = jnp.maximum(cfg.online_loop_min_r,
+                              cfg.online_loop_noise_k * noise_r)
         ok = ((dt_max < cfg.online_loop_max_t)
               & (dr_max < cfg.online_loop_max_r)
-              & ((dt > cfg.online_loop_min_t)
-                 | (dr > cfg.online_loop_min_r))
+              & ((dt > floor_t) | (dr > floor_r))
               & jnp.any(elig)
               & jnp.all(jnp.isfinite(T_opt)))
 
@@ -285,7 +320,8 @@ def make_phases(cfg: SvoConfig):
             median_depth=_masked_median(
                 1.0 / jnp.maximum(st.mu, 1e-4), st.status > 0),
             n_seed_deaths=jnp.asarray(0, jnp.int32),
-            n_epi_recovered=jnp.asarray(0, jnp.int32))
+            n_epi_recovered=jnp.asarray(0, jnp.int32),
+            ba_diag=st.ba_diag)
         return st, out
 
     def track_phase(st: SlamState, pyr_l, gxs, gys, img_r
@@ -370,15 +406,35 @@ def make_phases(cfg: SvoConfig):
             # per-feature noise: a feature detected at pyramid level L
             # localizes to ~2^L px (SURVEY.md §2.1 detector row)
             obs_sigma = jnp.exp2(st.feat_level.astype(jnp.float32))
+            sig_reproj = obs_sigma
+            sig_disp = obs_sigma
+            if cfg.refine_whiten_depth:
+                # fold each feature's MAP uncertainty into the row noise:
+                # a depth error σ_z displaces the reprojection by
+                # ≈ fx·‖t_ck‖·σ_z/z² = fx·‖t_ck‖·σ_μ px (σ_μ = posterior
+                # inverse-depth σ) and the predicted disparity by
+                # ≈ fx·B·σ_μ px. Without this the refiner treats
+                # estimated depth as EXACT, so fresh seeds' pose-
+                # correlated depth noise couples straight back into the
+                # pose (r5 road_long forward-overshoot forensics).
+                sd_mu = jnp.sqrt(jnp.maximum(st.sigma2, 0.0))
+                t_ck_n = jnp.linalg.norm(se3.translation(
+                    se3.compose(T_cw_pred[None], st.kf_T_wk[st.kf_id])),
+                    axis=-1)
+                sig_reproj = jnp.sqrt(obs_sigma ** 2
+                                      + (cam.fx * t_ck_n * sd_mu) ** 2)
+                sig_disp = jnp.sqrt(obs_sigma ** 2
+                                    + (cam.fx * cam.baseline * sd_mu) ** 2)
             # motion prior target: the same prediction that seeded the
             # align (constant velocity, or the relocalization pose after
             # a failure) composed to a world→camera pose
             T_prior = se3.compose(T_init, st.T_pw)
             T_cw, inliers, refine_stats = pose_refine.refine(
                 cam, cfg, T_cw_pred, X_w, uv_ref, tracked,
-                obs_sigma=obs_sigma, T_prior=T_prior,
+                obs_sigma=sig_reproj, T_prior=T_prior,
                 disp_obs=disp_m,
-                disp_mask=None if ok_m is None else (tracked & ok_m))
+                disp_mask=None if ok_m is None else (tracked & ok_m),
+                obs_sigma_d=sig_disp)
             n_inl = refine_stats["refine_inliers"]
             ok = (n_inl >= 10) & jnp.all(jnp.isfinite(T_cw))
             # Failed frame: do NOT commit the diverging estimate — anchor
@@ -456,7 +512,9 @@ def make_phases(cfg: SvoConfig):
                 # residual +2-3% landmark bias was the tail of the road
                 # scale drift (the posterior's tiny converged σ² makes each
                 # stereo observation a gentle correction, not a jump).
-                stereo_seeds = ok & (status > 0) & tracked & inliers
+                refresh_status = (status > 0) if cfg.stereo_refresh_landmarks \
+                    else (status == STATUS_SEED)
+                stereo_seeds = ok & refresh_status & tracked & inliers
                 upd2 = depth_filter.stereo_observe_and_update(
                     cam, cfg, se3.inverse(T_ck), feat_uv, disp_m, ok_m,
                     upd.mu, upd.sigma2, upd.a, upd.b, st.z_range,
@@ -562,7 +620,8 @@ def make_phases(cfg: SvoConfig):
             refine_rms_px=ctx.refine_rms_px,
             median_depth=ctx.med_depth,
             n_seed_deaths=ctx.n_seed_deaths,
-            n_epi_recovered=ctx.n_epi_recovered)
+            n_epi_recovered=ctx.n_epi_recovered,
+            ba_diag=st.ba_diag)
         return st, out
 
     return boot, track_phase, kf_phase, post_phase

@@ -24,7 +24,8 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
            mask: jnp.ndarray, obs_sigma: jnp.ndarray | None = None,
            T_prior: jnp.ndarray | None = None,
            disp_obs: jnp.ndarray | None = None,
-           disp_mask: jnp.ndarray | None = None
+           disp_mask: jnp.ndarray | None = None,
+           obs_sigma_d: jnp.ndarray | None = None
            ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Refine T_cw so that projected landmarks match observed positions.
 
@@ -57,11 +58,21 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
         and compounded into tracking collapse (r4 root-cause); with the
         disparity rows the near features pin it. Gated by
         cfg.refine_stereo_weight (0 disables).
+      obs_sigma_d: optional (N,) separate noise for the disparity rows
+        (px). The caller can fold each feature's MAP uncertainty into
+        both sigmas (engine/step: σ_reproj² += (fx·‖t_ck‖·σ_μ)²,
+        σ_disp² += (fx·B·σ_μ)²) so uncertain-depth features — fresh
+        seeds above all — cannot bias the pose: treating estimated depth
+        as exact couples the seeds' pose-correlated depth noise straight
+        back into the pose (the r5 road_long forward-overshoot
+        forensics). Defaults to obs_sigma.
     Returns: (T_cw, inlier_mask, stats).
     """
     sig = jnp.ones(X_world.shape[0], jnp.float32) if obs_sigma is None \
         else obs_sigma
     inv_s2 = 1.0 / (sig * sig)
+    sig_d = sig if obs_sigma_d is None else obs_sigma_d
+    inv_s2_d = 1.0 / (sig_d * sig_d)
     use_prior = T_prior is not None and cfg.refine_prior_t_sig > 0.0
     use_disp = (disp_obs is not None and disp_mask is not None
                 and cfg.refine_stereo_weight > 0.0)
@@ -83,10 +94,10 @@ def refine(cam: CameraConfig, cfg: SvoConfig, T_cw: jnp.ndarray,
         if use_disp:
             z = jnp.maximum(x_c[..., 2], 0.2)
             r_d = fxB / z - disp_obs                        # (N,) px
-            rdn = jnp.abs(r_d) / sig
+            rdn = jnp.abs(r_d) / sig_d
             w_d = jnp.where(rdn <= cfg.refine_huber_px, 1.0,
                             cfg.refine_huber_px / jnp.maximum(rdn, 1e-6))
-            w_d = (w_d * inv_s2 * cfg.refine_stereo_weight
+            w_d = (w_d * inv_s2_d * cfg.refine_stereo_weight
                    * (mask & front & disp_mask))
         else:
             r_d = w_d = None

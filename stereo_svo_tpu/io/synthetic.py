@@ -402,6 +402,18 @@ def trajectory_pose(t: jnp.ndarray, kind: str = "arc") -> jnp.ndarray:
         wy = 0.03 * jnp.sin(0.5 * t)
         wx = 0.02 * jnp.sin(0.8 * t + 1.0)
         wz = 0.25 * jnp.sin(0.45 * t)
+    elif kind == "loop_far":
+        # large out-and-back: ~3x the 'loop' amplitudes. Enough travel
+        # for ORGANIC odometry drift to exceed loop-edge measurement
+        # noise before the revisit (the no-injection loop-closure proof,
+        # r5; the standard 'loop' accumulates only ~2-5 cm — below the
+        # edge-noise floor)
+        tx = 0.35 * jnp.sin(0.5 * t)
+        ty = 0.08 * jnp.sin(0.9 * t)
+        tz = 1.4 * jnp.sin(0.35 * t)
+        wy = 0.08 * jnp.sin(0.45 * t)
+        wx = 0.02 * jnp.sin(0.7 * t)
+        wz = 0.015 * jnp.sin(1.0 * t)
     elif kind == "still":
         z = jnp.zeros_like(t)
         tx = ty = tz = wx = wy = wz = z

@@ -126,6 +126,24 @@ def update(mu: jnp.ndarray, sigma2: jnp.ndarray, a: jnp.ndarray,
         updated=ok)
 
 
+def _floor_sigma(cfg: SvoConfig, upd: SeedUpdate) -> SeedUpdate:
+    """Posterior σ floor (cfg.seed_sigma_floor · μ, inverse depth).
+
+    The recursive filter assumes independent measurements, but motion
+    triangulation shares the pose estimate's error — σ² collapses toward
+    a correlated consensus and the truly independent per-frame stereo
+    refresh loses traction. Measured on road_long (r5): the landmark map
+    went persistently far-biased, per-frame translation ran +4..+17% hot
+    against it (the scale-feedback loop), and window BA clawed back
+    0.1-0.4 m at every keyframe until collapse. The floor keeps every
+    seed/landmark permanently responsive to pose-free stereo evidence.
+    """
+    if cfg.seed_sigma_floor <= 0.0:
+        return upd
+    s_min = (cfg.seed_sigma_floor * upd.mu) ** 2
+    return upd._replace(sigma2=jnp.maximum(upd.sigma2, s_min))
+
+
 def observe_and_update(cam: CameraConfig, cfg: SvoConfig,
                        T_ck: jnp.ndarray,
                        kf_uv: jnp.ndarray, cur_uv: jnp.ndarray,
@@ -167,7 +185,8 @@ def observe_and_update(cam: CameraConfig, cfg: SvoConfig,
 
     x_obs = 1.0 / jnp.maximum(z_obs, 1e-3)
     apply_mask = active & tri_ok & (z_obs > 0.05)
-    return update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range, apply_mask)
+    upd = update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range, apply_mask)
+    return _floor_sigma(cfg, upd)
 
 
 def stereo_observe_and_update(cam: CameraConfig, cfg: SvoConfig,
@@ -216,8 +235,9 @@ def stereo_observe_and_update(cam: CameraConfig, cfg: SvoConfig,
     tau_inv = jnp.maximum(jnp.abs(tau_inv), 1e-8)
 
     apply_mask = active & disp_ok & (z_c > 0.1) & (z_k > 0.05)
-    return update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range,
-                  apply_mask)
+    upd = update(mu, sigma2, a, b, x_obs, tau_inv ** 2, z_range,
+                 apply_mask)
+    return _floor_sigma(cfg, upd)
 
 
 def epipolar_search(cam: CameraConfig, cfg: SvoConfig,

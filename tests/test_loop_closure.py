@@ -181,6 +181,7 @@ def _edge_fixture(drift_xi):
     T_wc1, img1 = _render(0.25)
     K, N = 2, 12 * 9
     uv0, disp0 = _grid_obs(T_wc0)
+    uv1, disp1 = _grid_obs(T_wc1)
 
     thumbs = []
     descs = []
@@ -196,9 +197,12 @@ def _edge_fixture(drift_xi):
     T_wk1 = se3.compose(T_wk1_true, se3.exp(jnp.asarray(drift_xi,
                                                         jnp.float32)))
     kf_T_wk = jnp.stack([T_wk0, T_wk1])
-    obs_uv = jnp.zeros((K, N, 2)).at[0].set(uv0)
-    obs_disp = jnp.zeros((K, N)).at[0].set(disp0)
-    obs_mask = jnp.zeros((K, N), bool).at[0].set(True)
+    # both keyframes carry stereo snapshots (as the production memory
+    # bank always does) — the round-trip consistency gate (r5) measures
+    # each edge in BOTH directions with independent templates
+    obs_uv = jnp.stack([uv0, uv1])
+    obs_disp = jnp.stack([disp0, disp1])
+    obs_mask = jnp.ones((K, N), bool)
     Z_true = se3.compose(se3.inverse(T_wk0), T_wk1_true)
     return (kf_T_wk, jnp.stack(thumbs), jnp.stack(descs),
             obs_uv, obs_mask, obs_disp, Z_true)
