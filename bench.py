@@ -33,6 +33,9 @@ Env knobs:
   BENCH_KF_EVERY=N   keyframe cadence quantization for the batched run
   BENCH_LATENCY=1    per-frame latency percentiles (python-loop run)
   BENCH_SKIP_BATCHED=1  skip the batched-8 run
+  BENCH_ONLINE_LOOP=N   enable online loop closure (online_loop_every=N)
+                     on the default path — overhead/ATE measurement for
+                     loop workloads (pair with BENCH_TRAJ=loop)
   BENCH_ATE_GATE / BENCH_TRACK_GATE  override the accuracy gates
 """
 
@@ -545,7 +548,13 @@ def main():
         _emit(payload, _check_gates(err, ok, ate_gate=kitti_gate))
         return
 
-    fps, err, n_kf, ok, rp, tim = _run(N_FRAMES, scene_kind=scene_kind,
+    cfg0 = None
+    online_every = int(os.environ.get("BENCH_ONLINE_LOOP", "0"))
+    if online_every > 0:
+        from stereo_svo_tpu.config import SvoConfig as _Cfg
+        cfg0 = _Cfg(online_loop_every=online_every)
+    fps, err, n_kf, ok, rp, tim = _run(N_FRAMES, cfg=cfg0,
+                                       scene_kind=scene_kind,
                                        perturb=perturb, traj_kind=traj_kind)
     gate_fail = _check_gates(err, ok)
     fps_b = ate_b_max = ate_b_mean = None

@@ -121,7 +121,13 @@ def main():
     # einsums (ops/interp_mxu.py, production) vs the fused Pallas kernel
     # (ops/pallas/align_kernel.py). Same math, parity-tested; the race
     # here decides the dispatch (see ROADMAP).
-    if jax.default_backend() == "tpu":
+    # SMEM guard: the kernel stages its (N,2) coordinate operand in SMEM,
+    # which Mosaic pads to N×128 lanes — 512·N bytes against the 1 MB SMEM
+    # budget. At stress capacity (N=2048) that alone is 1.0 MB and the
+    # compile fails with "Ran out of memory in memory space smem"
+    # (measured r5); the race is meaningful at these shapes only for the
+    # einsum path anyway (the kernel already lost 18-25x at N=192, r3).
+    if jax.default_backend() == "tpu" and cfg.max_features <= 1024:
         from stereo_svo_tpu.ops import interp
         from stereo_svo_tpu.ops.pallas import align_kernel
 

@@ -30,7 +30,7 @@ cam = cfg0.camera
 
 def degrade_weak(lefts, rights, lo=40, hi=56, contrast=0.2, noise=6.0):
     key = jax.random.PRNGKey(7)
-    l, r = np.asarray(lefts), np.asarray(rights)
+    l, r = np.array(lefts), np.array(rights)   # writable copies
     for i in range(lo, hi):
         key, k1, k2 = jax.random.split(key, 3)
         for img, k in ((l, k1), (r, k2)):

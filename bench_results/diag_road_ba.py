@@ -31,6 +31,13 @@ elif mode == "v5":      # damped trust-region acceptance
     cfg = dataclasses.replace(cfg, ba_trust_clamp=True)
 elif mode == "v5t6":    # damped + wider trust
     cfg = dataclasses.replace(cfg, ba_trust_clamp=True, ba_trust_t=0.6)
+elif mode == "v6":      # refine convergence boost
+    cfg = dataclasses.replace(cfg, refine_max_iters=20,
+                              refine_irls_chunks=5)
+elif mode == "v7":      # slower KF cadence (gauge walks slower)
+    cfg = dataclasses.replace(cfg, kf_dist_ratio=0.20)
+elif mode == "v8":      # wider window
+    cfg = dataclasses.replace(cfg, max_keyframes=16)
 lefts, rights, gts = bench._render_sequence(cfg.camera, N, "road_long",
                                             "kitti", False)
 run = jax.jit(lambda a, b: runner.run_sequence_scan(cfg, a, b))

@@ -19,7 +19,14 @@ import os as _os
 # (bench, CLI, tests, diagnostics); keyed on HLO so identical compiles are
 # served from disk across processes. Verified working through the remote
 # axon PJRT tunnel. Opt out with SVO_COMPILE_CACHE=0.
-if _os.environ.get("SVO_COMPILE_CACHE", "1") != "0":
+if (_os.environ.get("SVO_COMPILE_CACHE", "1") != "0"
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+    # TPU-only: XLA:CPU AOT results encode exact machine features
+    # (prefer-no-gather etc.); loading one compiled under different flags
+    # changes instruction selection — measured to flip float rounding
+    # enough to change a whole SLAM trajectory across processes, and the
+    # loader itself warns about possible SIGILL. Tests/CPU runs set
+    # JAX_PLATFORMS=cpu (tests/conftest.py), which opts them out here.
     try:
         import jax as _jax
 

@@ -83,6 +83,12 @@ def main(argv=None):
                    help="after the run, detect appearance-based loop "
                         "closures in the keyframe bank and refine the "
                         "exported trajectory by pose-graph optimization")
+    p.add_argument("--online-loop", type=int, default=0, metavar="N",
+                   help="close loops ONLINE: every N-th keyframe "
+                        "insertion the live map is loop-checked against "
+                        "the long-horizon memory bank and drift is "
+                        "repaired during the run (0 = off; see "
+                        "config.online_loop_every)")
     args = p.parse_args(argv)
 
     if args.dataset == "euroc":
@@ -93,6 +99,9 @@ def main(argv=None):
         cfg = SvoConfig()
     if args.calib:
         cfg = calib.load_flat_yaml(args.calib, base=cfg)
+    if args.online_loop > 0:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, online_loop_every=args.online_loop)
 
     cfg, frames, gt_poses = _frame_source(args, cfg)
     svo = StereoSvo(cfg)

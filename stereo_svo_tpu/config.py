@@ -110,6 +110,23 @@ class SvoConfig:
                                    # 433 fps @ 0.0167 exact — parity.
                                    # align_max_iters → exact classic IRLS.
 
+    align_tmpl_stereo: bool = False  # template depths from the CURRENT
+                                   # frame's measured stereo disparity
+                                   # (where valid) instead of the map.
+                                   # Motivation: template depth IS the
+                                   # align stage's translation gain
+                                   # (forward flow ∝ t/z), so a +b% map
+                                   # depth bias makes every aligned
+                                   # forward step +b% hot. MEASURED MUCH
+                                   # WORSE at driving scale (road_long
+                                   # 400f ATE 7.2 → 47.3, r5): raw
+                                   # disparity noise at far range (1 px
+                                   # on a 6 px disparity = 17% depth
+                                   # error, per feature, per frame)
+                                   # swamps the ~5% smooth map bias it
+                                   # removes — the depth filter exists
+                                   # precisely to average that noise.
+                                   # Off; recorded as a negative result.
     illum_affine: bool = True      # photometric affine compensation:
                                    # the aligner estimates a global gain/
                                    # bias (closed form, per Huber refresh)
@@ -239,8 +256,25 @@ class SvoConfig:
                                    # BASELINE.md r5 road table.
     # per-seed epipolar search for KLT-lost seeds (ref DepthFilter's 1-D
     # search along the epipolar line; SURVEY.md §3.5)
-    epi_samples: int = 16          # ZNCC probes along the μ±3σ segment
-                                   # (0 disables the epipolar path)
+    epi_samples: int = 0           # ZNCC probes along the μ±3σ segment
+                                   # (0 disables the epipolar path —
+                                   # the MEASURED default, r5 e2e
+                                   # trade-off battery,
+                                   # bench_results/diag_epi_tradeoff.py:
+                                   # weak-texture stretch ATE 0.440 /
+                                   # tracking 0.44 with the search ON vs
+                                   # 0.171 / 0.98 OFF — recoveries feed
+                                   # corrupted measurements through the
+                                   # very stretch they were meant to
+                                   # survive, while letting seeds die
+                                   # and re-seeding stays on track;
+                                   # blur ON 0.0108 vs OFF 0.0118
+                                   # (noise-level win); perturb ON
+                                   # 0.0134 vs OFF 0.0126. The r3
+                                   # starvation-protection rationale is
+                                   # INVERTED end-to-end. Path remains
+                                   # available and parity-tested for
+                                   # >0 opt-in.
     epi_min_zncc: float = 0.7      # acceptance threshold on the peak
     epi_level: int = 1             # pyramid level searched (cheaper coarse)
 

@@ -260,11 +260,24 @@ def run_online_loop(cfg: SvoConfig, st: SlamState) -> SlamState:
 
 
 def _rebuild_template(cfg: SvoConfig, state: SlamState, pyr_l, gxs, gys,
-                      T_cw: jnp.ndarray) -> SlamState:
-    """Anchor the next frame's alignment template at the current frame."""
+                      T_cw: jnp.ndarray,
+                      z_obs=None, z_obs_ok=None) -> SlamState:
+    """Anchor the next frame's alignment template at the current frame.
+
+    z_obs/z_obs_ok: optional (N,) per-feature depths measured in THIS
+    frame's stereo pair (and validity). Template depth sets the align
+    stage's translation gain directly — forward flow ∝ t/z, so a map
+    depth bias of +b% makes every aligned forward step +b% hot (the r5
+    road_long forensic signature: sustained +4..+17% per-frame overshoot
+    tracking a far-biased map). The measured disparity is pose- and
+    map-free; where available it replaces the map depth here, severing
+    the map-bias → align-gain coupling.
+    """
     X_w = world_points(cfg, state)
     x_c = se3.transform(T_cw, X_w)
     z_cur = x_c[..., 2]
+    if z_obs is not None:
+        z_cur = jnp.where(z_obs_ok & (z_obs > 0.1), z_obs, z_cur)
     mask = ((state.status > 0) & (z_cur > 0.1)
             & cam_mod.in_bounds(cfg.camera, state.feat_uv,
                                 margin=cfg.align_patch))
@@ -285,6 +298,8 @@ class TrackCtx(NamedTuple):
     refine_rms_px: jnp.ndarray
     n_seed_deaths: jnp.ndarray   # () int32 (see FrameOut)
     n_epi_recovered: jnp.ndarray  # () int32
+    tmpl_z_obs: jnp.ndarray    # (N,) this frame's stereo-measured depths
+    tmpl_z_ok: jnp.ndarray     # (N,) …validity (template depth override)
 
 
 def make_phases(cfg: SvoConfig):
@@ -568,13 +583,21 @@ def make_phases(cfg: SvoConfig):
                 regular = urgent | (regular & eligible)
             need_kf = ok & st.tracking_ok & regular
 
+            if cfg.align_tmpl_stereo and disp_m is not None:
+                tmpl_z_obs = cam.fx * cam.baseline / jnp.maximum(disp_m,
+                                                                 0.25)
+                tmpl_z_ok = tracked & inliers & ok_m
+            else:
+                tmpl_z_obs = jnp.zeros_like(st.mu)
+                tmpl_z_ok = jnp.zeros_like(st.status, bool)
             ctx = TrackCtx(
                 T_cw=T_cw, ok=ok, need_kf=need_kf, n_inl=n_inl,
                 med_depth=med_depth,
                 align_cost=align_stats["align_cost"],
                 align_inlier_frac=align_stats["align_inlier_frac"],
                 refine_rms_px=refine_stats["refine_rms_px"],
-                n_seed_deaths=n_seed_deaths, n_epi_recovered=n_epi)
+                n_seed_deaths=n_seed_deaths, n_epi_recovered=n_epi,
+                tmpl_z_obs=tmpl_z_obs, tmpl_z_ok=tmpl_z_ok)
             return st, ctx
 
     def kf_phase(st: SlamState, pyr_l, gxs, gys, img_r,
@@ -602,7 +625,13 @@ def make_phases(cfg: SvoConfig):
             lambda a, b: jnp.where(ctx.need_kf, a, b), T_cw_kf, ctx.T_cw)
 
         # --- 7. re-anchor next frame's alignment template ---
-        st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw)
+        # stereo-measured depth override is only valid on non-KF frames:
+        # a keyframe insertion recycles feature slots, so ctx's per-slot
+        # measurements may belong to dead predecessors (fresh seeds carry
+        # exact stereo depths anyway)
+        st = _rebuild_template(cfg, st, pyr_l, gxs, gys, T_cw,
+                               z_obs=ctx.tmpl_z_obs,
+                               z_obs_ok=ctx.tmpl_z_ok & ~ctx.need_kf)
         vel = se3.log(se3.compose(T_cw, se3.inverse(st.T_pw)))
         # damp the constant-velocity prior after a tracking failure
         vel = jnp.where(ctx.ok, vel, 0.5 * st.vel)

@@ -408,9 +408,9 @@ def trajectory_pose(t: jnp.ndarray, kind: str = "arc") -> jnp.ndarray:
         # noise before the revisit (the no-injection loop-closure proof,
         # r5; the standard 'loop' accumulates only ~2-5 cm — below the
         # edge-noise floor)
-        tx = 0.35 * jnp.sin(0.5 * t)
+        tx = 0.4 * jnp.sin(0.5 * t)
         ty = 0.08 * jnp.sin(0.9 * t)
-        tz = 1.4 * jnp.sin(0.35 * t)
+        tz = 2.1 * jnp.sin(0.35 * t)
         wy = 0.08 * jnp.sin(0.45 * t)
         wx = 0.02 * jnp.sin(0.7 * t)
         wz = 0.015 * jnp.sin(1.0 * t)
