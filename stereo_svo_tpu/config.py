@@ -384,7 +384,16 @@ class SvoConfig:
     # matrix), accepted edges feed an on-device pose graph over the bank,
     # and the correction folds into the live state (kf_T_wk, mem_T_wk,
     # current/template poses) — a revisit repairs drift DURING the run.
-    online_loop_every: int = 0     # run every N-th KF insertion (0 = off)
+    online_loop_every: int = 0     # run every N-th KF insertion (0 = off
+                                   # — odometry parity with the
+                                   # reference). Measured at 752×480
+                                   # (BASELINE.md r5): the query +
+                                   # bidirectional edge measurement +
+                                   # pose graph costs ≈16 ms per KF
+                                   # insertion; for loop workloads
+                                   # online_loop_every=4 is the
+                                   # recommended setting (4× less
+                                   # overhead, ≤3-KF detection delay)
     online_loop_edges: int = 2     # top-k bank matches measured per query
     online_loop_iters: int = 8     # pose-graph GN iterations
     online_loop_max_t: float = 2.0  # trust guard: reject a correction
@@ -480,7 +489,14 @@ def kitti_config() -> SvoConfig:
         stereo_max_disp=128,
         # driving-scale scenes (5-60 m): let BA move a mis-anchored
         # keyframe far enough to matter
-        ba_trust_t=0.40, ba_trust_r=0.05)
+        ba_trust_t=0.40, ba_trust_r=0.05,
+        # the epipolar-recovery trade is SCENE-DEPENDENT (r5 battery):
+        # on EuRoC-style scenes a degraded stretch poisons recovered
+        # seeds (default now 0), but in the deep road corridor far
+        # seeds are KLT-marginal and the recoveries keep them measured —
+        # road-100 gate: 0.230 m (1.9%) with the search vs 0.318 m
+        # (FAIL) without
+        epi_samples=16)
 
 
 def stress_config() -> SvoConfig:

@@ -25,7 +25,11 @@ pytestmark = pytest.mark.slow  # compile-heavy e2e tier
 
 CAM = CameraConfig(fx=200.0, fy=200.0, cx=128.0, cy=96.0,
                    baseline=0.11, width=256, height=192)
-CFG = SvoConfig(camera=CAM, num_levels=3, align_levels=3, klt_levels=3)
+# epi_samples pinned explicitly: these tests exercise the epipolar path
+# itself (the engine DEFAULT is now 0 — r5 measured trade-off; the path
+# stays opt-in, e.g. kitti_config)
+CFG = SvoConfig(camera=CAM, num_levels=3, align_levels=3, klt_levels=3,
+                epi_samples=16)
 SCENE = synthetic.default_scene(0)
 
 
