@@ -38,6 +38,10 @@ elif mode == "v7":      # slower KF cadence (gauge walks slower)
     cfg = dataclasses.replace(cfg, kf_dist_ratio=0.20)
 elif mode == "v8":      # wider window
     cfg = dataclasses.replace(cfg, max_keyframes=16)
+elif mode == "v9":      # no motion prior (r4: prior locks in inflated vel)
+    cfg = dataclasses.replace(cfg, refine_prior_t_sig=0.0)
+elif mode == "v10":     # stronger live-disparity rows
+    cfg = dataclasses.replace(cfg, refine_stereo_weight=4.0)
 lefts, rights, gts = bench._render_sequence(cfg.camera, N, "road_long",
                                             "kitti", False)
 run = jax.jit(lambda a, b: runner.run_sequence_scan(cfg, a, b))
