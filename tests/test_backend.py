@@ -186,3 +186,40 @@ def test_pose_graph_chain_builder():
     g = pose_graph.chain_graph(T, valid)
     assert g.edges_ij.shape == (K - 1, 2)
     assert g.weight.tolist() == [1.0, 1.0, 0.0, 0.0]
+
+
+def test_ba_freezes_observationless_gauge_keyframe():
+    """The r5 road_long killer in miniature: the OLDEST keyframe has lost
+    every observation column (feature-slot recycling). Pre-fix, pinning
+    it as gauge constrained nothing — the free window was a disconnected
+    component with exact null directions, and the solver slid it
+    ~0.4 m/call with bitwise-equal cost. Post-fix (backend/ba.py:
+    constrained-gauge selection + freezing < 4-obs keyframes), the
+    obs-less keyframe must stay EXACTLY put, the gauge must move to the
+    oldest CONSTRAINED keyframe, and the rest must still converge."""
+    T_init, X_init, obs, mask, T_gt, X_gt, disp = _make_problem(seed=11)
+    K, N = mask.shape
+    mask = np.asarray(mask).copy()
+    mask[0, :] = False                      # oldest KF observes nothing
+    mask = jnp.asarray(mask)
+    stamp = jnp.arange(K, dtype=jnp.int32)  # slot 0 is oldest by stamp
+    T_out, X_out, stats = jax.jit(lambda t, x: ba.bundle_adjust(
+        CAM, CFG, t, jnp.ones(K, bool), x, jnp.ones(N, bool), obs, mask,
+        disp, mask, kf_stamp=stamp))(T_init, X_init)
+    assert np.isfinite(np.asarray(T_out)).all()
+    assert float(stats.cost_final) < float(stats.cost_initial)
+    # the obs-less keyframe is frozen, not slid along a null direction
+    np.testing.assert_allclose(np.asarray(T_out[0]), np.asarray(T_init[0]),
+                               atol=1e-6)
+    # gauge moved to KF1 (oldest constrained): also held fixed
+    np.testing.assert_allclose(np.asarray(T_out[1]), np.asarray(T_init[1]),
+                               atol=1e-6)
+    # the remaining free keyframes still converge toward ground truth
+    # RELATIVE to the new gauge (KF1's init pose is perturbed, so compare
+    # relative poses, not absolutes)
+    for k in range(2, K):
+        rel_out = se3.compose(se3.inverse(T_out[1]), T_out[k])
+        rel_gt = se3.compose(se3.inverse(jnp.asarray(T_gt[1])),
+                             jnp.asarray(T_gt[k]))
+        dr, dt = se3.distance(rel_out, rel_gt)
+        assert float(dt) < 2e-2, (k, float(dt))

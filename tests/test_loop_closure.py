@@ -316,3 +316,42 @@ def test_close_loops_fixes_drift_via_pose_graph():
     dr1, dt1 = se3.distance(T_opt[1], T_wk1_true)
     assert float(dt1) < 0.5 * float(dt0)
     assert float(dr1) < 0.5 * float(dr0)
+
+
+def test_roundtrip_gate_rejects_false_proposal():
+    """r5 round-trip consistency gate: force an edge between two views of
+    DIFFERENT scene content (a false proposal — the production risk the
+    gate exists for). Each direction's coarse alignment latches onto some
+    local photometric minimum; the two directions cannot agree, the
+    round-trip error explodes, and the edge must be REJECTED regardless
+    of the per-direction inlier fractions — phantom edges of exactly this
+    kind compounded 0.3-0.5 m of error on a drift-free run before the
+    gate existed (BASELINE.md r5). Also asserts the healthy fixture's
+    round trip is SMALL — the gate discriminates, not just rejects."""
+    drift = [0.03, -0.02, 0.04, 0.01, -0.012, 0.008]
+    (kf_T_wk, thumbs, descs, obs_uv, obs_mask, obs_disp,
+     Z_true) = _edge_fixture(drift)
+    props = loop_closure.LoopProposals(
+        edges_ij=jnp.asarray([[0, 1]], jnp.int32),
+        score=jnp.asarray([1.0]), valid=jnp.asarray([True]))
+    good = loop_closure.measure_edges(
+        CFG, props, kf_T_wk, thumbs, obs_uv, obs_mask, obs_disp, obs_mask)
+    assert bool(good.accept[0])
+    assert float(good.rt_t[0]) < 0.5 * CFG.loop_rt_max_t, float(good.rt_t[0])
+
+    # false proposal (the repeated-texture failure mode): KF1's stored
+    # pose stays near KF0, but its thumbnail/snapshot actually IMAGE a
+    # different part of the world (view 3 s away) — the initialization
+    # is meaningless for the content, each direction falls into its own
+    # local photometric minimum, and the directions disagree
+    T_far, img_far = _render(3.0)
+    pyr_far = pyramid.build(img_far, CFG.num_levels)
+    thumbs_bad = thumbs.at[1].set(pyr_far[CFG.thumb_level])
+    uv_far, disp_far = _grid_obs(T_far)
+    obs_uv_bad = obs_uv.at[1].set(uv_far)
+    obs_disp_bad = obs_disp.at[1].set(disp_far)
+    bad = loop_closure.measure_edges(
+        CFG, props, kf_T_wk, thumbs_bad, obs_uv_bad, obs_mask,
+        obs_disp_bad, obs_mask)
+    assert not bool(bad.accept[0]), (
+        float(bad.rt_t[0]), float(bad.inlier_frac[0]))
